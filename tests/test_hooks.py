@@ -1,0 +1,290 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tgm_tpu import DGData, DGDataLoader, DGraph, PADDED_NODE_ID
+from tgm_tpu.hooks import (
+    DeduplicationHook,
+    EdgeEventsSeenNodesTrackHook,
+    HistoricalNegativeEdgeSamplerHook,
+    HookManager,
+    NeighborSamplerHook,
+    RandomNegativeEdgeSamplerHook,
+    RecencyNeighborHook,
+    TGBNegativeEdgeSamplerHook,
+    map_to_local,
+)
+from tgm_tpu.hooks.neighbors import recency_init, recency_query, recency_update
+
+
+@pytest.fixture
+def dg(tiny_events):
+    edge_time, edge_index, edge_x = tiny_events
+    return DGraph(DGData.from_raw(edge_time=edge_time, edge_index=edge_index, edge_x=edge_x))
+
+
+def materialize(dg, **kw):
+    return dg.materialize(**kw)
+
+
+# ------------------------------------------------------------------ #
+# Random negatives
+# ------------------------------------------------------------------ #
+def test_random_negatives(dg):
+    h = RandomNegativeEdgeSamplerHook(low=0, high=4)
+    b = h(dg, materialize(dg))
+    assert b.neg.shape == b.edge_dst.shape
+    assert int(b.neg.min()) >= 0 and int(b.neg.max()) < 4
+    np.testing.assert_array_equal(np.asarray(b.neg_time), np.asarray(b.edge_time))
+
+
+def test_random_negatives_validation():
+    with pytest.raises(ValueError):
+        RandomNegativeEdgeSamplerHook(low=5, high=5)
+    with pytest.raises(ValueError):
+        RandomNegativeEdgeSamplerHook(low=0, high=4, neg_ratio=0)
+
+
+def test_random_negatives_reproducible(dg):
+    from tgm_tpu.util.seed import seed_everything
+
+    seed_everything(7)
+    h1 = RandomNegativeEdgeSamplerHook(low=0, high=100)
+    b1 = h1(dg, materialize(dg))
+    seed_everything(7)
+    h2 = RandomNegativeEdgeSamplerHook(low=0, high=100)
+    b2 = h2(dg, materialize(dg))
+    np.testing.assert_array_equal(np.asarray(b1.neg), np.asarray(b2.neg))
+
+
+# ------------------------------------------------------------------ #
+# Historical negatives
+# ------------------------------------------------------------------ #
+def test_historical_negatives(dg):
+    h = HistoricalNegativeEdgeSamplerHook()
+    b1 = h(dg, materialize(dg.slice_events(0, 4)))
+    # First batch: no history yet
+    assert np.all(np.asarray(b1.neg) == PADDED_NODE_ID)
+    assert not np.any(np.asarray(b1.valid_neg_mask))
+
+    b2 = h(dg, materialize(dg.slice_events(4, 8)))
+    # Batch 2 edges: (1,3)@5 (0,2)@8 (2,1)@9 (3,1)@20. History: 0-1,1-2,2-3,3-0
+    neg = np.asarray(b2.neg)
+    valid = np.asarray(b2.valid_neg_mask)
+    assert valid.all()  # all srcs have history
+    # src=1 history dsts: {2} (directed src->dst log) => neg must be 2
+    assert neg[0] == 2
+
+
+def test_historical_negatives_reset(dg):
+    h = HistoricalNegativeEdgeSamplerHook()
+    h(dg, materialize(dg))
+    assert h.state is not None
+    h.reset_state()
+    assert h.state is None
+
+
+# ------------------------------------------------------------------ #
+# TGB eval negatives
+# ------------------------------------------------------------------ #
+def test_tgb_negatives_from_arrays(dg):
+    E, Q = 8, 3
+    cands = np.arange(E * Q).reshape(E, Q) % 4
+    h = TGBNegativeEdgeSamplerHook(candidates=cands)
+    b1 = h(dg, materialize(dg.slice_events(0, 4)))
+    np.testing.assert_array_equal(np.asarray(b1.neg_batch_list), cands[:4])
+    b2 = h(dg, materialize(dg.slice_events(4, 8)))
+    np.testing.assert_array_equal(np.asarray(b2.neg_batch_list), cands[4:])
+    assert b2.neg.shape == (4 * Q,)
+
+
+# ------------------------------------------------------------------ #
+# Recency buffers: functional core
+# ------------------------------------------------------------------ #
+def test_recency_query_empty():
+    state = recency_init(num_nodes=4, buf_size=3, edge_dim=2)
+    nbrs, times, feats = recency_query(state, jnp.array([0, 1]), jnp.array([10, 10]), 2)
+    assert np.all(np.asarray(nbrs) == PADDED_NODE_ID)
+    assert np.all(np.asarray(times) == 0)
+    assert np.all(np.asarray(feats) == 0)
+
+
+def test_recency_update_then_query():
+    state = recency_init(num_nodes=4, buf_size=3, edge_dim=1)
+    src = jnp.array([0, 1, 0])
+    dst = jnp.array([1, 2, 3])
+    t = jnp.array([1, 2, 3])
+    x = jnp.array([[10.0], [20.0], [30.0]])
+    state = recency_update(state, src, dst, t, x, None, directed=False)
+
+    # node 0 interacted with 1@1 and 3@3
+    nbrs, times, feats = recency_query(state, jnp.array([0]), jnp.array([10]), 2)
+    np.testing.assert_array_equal(np.asarray(nbrs)[0], [1, 3])
+    np.testing.assert_array_equal(np.asarray(times)[0], [1, 3])
+    np.testing.assert_array_equal(np.asarray(feats)[0, :, 0], [10.0, 30.0])
+
+    # time constraint: strictly before t=3 -> only neighbor 1@1, right-aligned
+    nbrs, times, _ = recency_query(state, jnp.array([0]), jnp.array([3]), 2)
+    np.testing.assert_array_equal(np.asarray(nbrs)[0], [PADDED_NODE_ID, 1])
+    np.testing.assert_array_equal(np.asarray(times)[0], [0, 1])
+
+
+def test_recency_buffer_eviction():
+    # buffer size 2: pushing 3 events to node 0 keeps the 2 most recent
+    state = recency_init(num_nodes=4, buf_size=2, edge_dim=1)
+    src = jnp.array([0, 0, 0])
+    dst = jnp.array([1, 2, 3])
+    t = jnp.array([1, 2, 3])
+    x = jnp.array([[1.0], [2.0], [3.0]])
+    state = recency_update(state, src, dst, t, x, None, directed=True)
+    nbrs, times, _ = recency_query(state, jnp.array([0]), jnp.array([99]), 2)
+    np.testing.assert_array_equal(np.asarray(nbrs)[0], [2, 3])
+    np.testing.assert_array_equal(np.asarray(times)[0], [2, 3])
+
+
+def test_recency_update_respects_valid_mask():
+    state = recency_init(num_nodes=4, buf_size=2, edge_dim=1)
+    src = jnp.array([0, 0])
+    dst = jnp.array([1, 2])
+    t = jnp.array([1, 2])
+    x = jnp.ones((2, 1))
+    valid = jnp.array([True, False])
+    state = recency_update(state, src, dst, t, x, valid, directed=True)
+    nbrs, _, _ = recency_query(state, jnp.array([0]), jnp.array([99]), 2)
+    np.testing.assert_array_equal(np.asarray(nbrs)[0], [PADDED_NODE_ID, 1])
+
+
+def test_recency_wraparound_ordering():
+    # Fill buffer over multiple updates; verify chronological window after wrap.
+    state = recency_init(num_nodes=2, buf_size=3, edge_dim=1)
+    for i in range(5):  # node 0 gets neighbors 10+i at t=i+1
+        state = recency_update(
+            state,
+            jnp.array([0]),
+            jnp.array([10 + i]) % 2 + 0 * jnp.array([1]),  # neighbor id in range
+            jnp.array([i + 1]),
+            jnp.ones((1, 1)) * i,
+            None,
+            directed=True,
+        )
+    nbrs, times, _ = recency_query(state, jnp.array([0]), jnp.array([99]), 3)
+    np.testing.assert_array_equal(np.asarray(times)[0], [3, 4, 5])
+
+
+# ------------------------------------------------------------------ #
+# Recency hook end-to-end
+# ------------------------------------------------------------------ #
+def test_recency_hook_multihop(dg):
+    h = RecencyNeighborHook(
+        num_nodes=4,
+        num_nbrs=[2, 2],
+        seed_nodes_keys=["edge_src", "edge_dst"],
+        seed_times_keys=["edge_time", "edge_time"],
+    )
+    loader = DGDataLoader(dg, batch_size=4, hook_manager=None, pad_multiple=1)
+    batches = []
+    for b in loader:
+        batches.append(h(dg, b))
+    b2 = batches[1]
+    assert len(b2.nbr_nids) == 2  # two hops
+    S = b2.seed_nids[0].shape[0]
+    assert b2.nbr_nids[0].shape == (S, 2)
+    assert b2.nbr_nids[1].shape == (S * 2, 2)
+    # Batch2 edges @5,5,8,9; batch1 pushed edges @1,1,2,5.
+    # seed edge_src[0] = 1 @ t=5: recent nbrs strictly before 5: 0@1, 2@1
+    nbrs0 = np.asarray(b2.nbr_nids[0])[0]
+    assert set(nbrs0.tolist()) == {0, 2}
+    # seed mask maps names to index ranges
+    assert np.asarray(b2.seed_node_nbr_mask["edge_src"]).tolist() == list(range(4))
+
+
+def test_recency_hook_validation():
+    with pytest.raises(ValueError):
+        RecencyNeighborHook(4, [], ["edge_src"], ["edge_time"])
+    with pytest.raises(ValueError):
+        RecencyNeighborHook(4, [0], ["edge_src"], ["edge_time"])
+    with pytest.raises(ValueError):
+        RecencyNeighborHook(4, [2], ["edge_src", "edge_dst"], ["edge_time"])
+
+
+# ------------------------------------------------------------------ #
+# Uniform sampler hook
+# ------------------------------------------------------------------ #
+def test_uniform_sampler_hook(dg):
+    h = NeighborSamplerHook(
+        num_nbrs=[5],
+        seed_nodes_keys=["edge_src"],
+        seed_times_keys=["edge_time"],
+    )
+    loader = DGDataLoader(dg, batch_size=4, pad_multiple=1)
+    batches = list(loader)
+    b2 = h(dg, batches[1])
+    # batch2 min time = 5; history is everything strictly before 5: edges @1,1,2
+    # seed edge_src = [1, 0, 2, 3]; node 1 nbrs before t=5: 0@1, 2@1
+    nbrs = np.asarray(b2.nbr_nids[0])
+    assert set(nbrs[0][nbrs[0] != PADDED_NODE_ID].tolist()) == {0, 2}
+    # node 3's only history before 5 is edge (2,3)@2 -> neighbor 2, left-aligned
+    np.testing.assert_array_equal(nbrs[3], [2] + [PADDED_NODE_ID] * 4)
+
+
+# ------------------------------------------------------------------ #
+# Dedup
+# ------------------------------------------------------------------ #
+def test_dedup_hook(dg):
+    h = DeduplicationHook(num_nodes=4)
+    b = h(dg, materialize(dg.slice_events(0, 3)))
+    uniq = np.asarray(b.unique_nids)
+    n = int(b.num_unique)
+    assert set(uniq[:n].tolist()) == {0, 1, 2, 3}
+    g2l = b.global_to_local
+    local_src = np.asarray(map_to_local(g2l, b.edge_src))
+    np.testing.assert_array_equal(uniq[local_src], np.asarray(b.edge_src))
+
+
+def test_dedup_with_neighbors(dg):
+    hm = HookManager(keys=["train"])
+    hm.register(
+        "train",
+        RecencyNeighborHook(
+            4, [2], ["edge_src", "edge_dst"], ["edge_time", "edge_time"]
+        ),
+    )
+    hm.register("train", DeduplicationHook(num_nodes=4, seed_nodes_keys=["nbr_nids"]))
+    loader = DGDataLoader(dg, batch_size=4, hook_manager=hm, pad_multiple=1)
+    with hm.activate("train"):
+        batches = list(loader)
+    b = batches[1]
+    n = int(b.num_unique)
+    assert n >= 1
+    # PADDED fill at the tail
+    assert np.all(np.asarray(b.unique_nids)[n:] == PADDED_NODE_ID)
+
+
+# ------------------------------------------------------------------ #
+# Seen-nodes tracking
+# ------------------------------------------------------------------ #
+def test_seen_nodes_track(tiny_events):
+    edge_time, edge_index, edge_x = tiny_events
+    data = DGData.from_raw(
+        edge_time=edge_time,
+        edge_index=edge_index,
+        edge_x=edge_x,
+        node_y_time=np.array([6, 21]),
+        node_y_nids=np.array([1, 3]),
+        node_y=np.ones((2, 1), dtype=np.float32),
+    )
+    dg = DGraph(data)
+    h = EdgeEventsSeenNodesTrackHook(num_nodes=4)
+    b = h(dg, dg.materialize())
+    assert np.asarray(b.batch_nodes_mask).all()  # both labeled nodes seen
+
+
+def test_hook_state_roundtrip(dg):
+    hm = HookManager(keys=["train"])
+    rec = RecencyNeighborHook(4, [2], ["edge_src"], ["edge_time"])
+    hm.register("train", rec)
+    with hm.activate("train"):
+        hm.execute_active_hooks(dg, materialize(dg, pad_edges_to=8))
+    states = hm.collect_states()
+    assert states["keyed"]["train"]
+    hm.load_states(states)  # no error

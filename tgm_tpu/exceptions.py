@@ -13,6 +13,10 @@ class BadHookProtocolError(TGMError):
     """A registered hook does not satisfy the DGHook protocol."""
 
 
+class BadEncoderProtocolError(TGMError):
+    """An encoder module does not satisfy the EncoderModule protocol."""
+
+
 class UnresolvableHookDependenciesError(TGMError):
     """The hook requires/produces graph has a cycle or missing producer."""
 

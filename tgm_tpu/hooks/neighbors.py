@@ -1,0 +1,420 @@
+"""Temporal neighbor sampling hooks.
+
+Parity: reference neighbor hooks
+(/root/reference/tgm/hooks/neighbors/recency.py:18-416,
+ /root/reference/tgm/hooks/neighbors/uniform.py:16-210):
+
+* ``RecencyNeighborHook`` — per-node circular buffers of the most recent
+  neighbors; multi-hop queries return, per hop, the k most recent neighbors
+  strictly before each seed's query time; updates keep the last ``B`` events
+  per node with deterministic last-write-wins.
+* ``NeighborSamplerHook`` — uniform sampling over each seed's full temporal
+  neighborhood strictly before the batch.
+
+TPU-first redesign (SURVEY.md §7.1/§7.3 item 1):
+
+* Recency state is a pytree ``(nbr_ids, nbr_times, nbr_feats, write_pos)`` of
+  shape ``(N+1, B)`` — row ``N`` is a *dump row*: padded seeds and dropped
+  writes target it, so every gather/scatter is static-shape and mask-free.
+* The reference's ``unique_consecutive``-based keep-last-B becomes a two-pass
+  stable argsort (lexsort by (node, time)) + segment arithmetic — identical
+  semantics, fully vectorized, jit/scan-safe.
+* The uniform sampler queries the storage's **temporal CSR** (built once,
+  uploaded once) with a fixed-iteration vectorized bisection — no per-batch
+  O(E) scans. Oversized neighborhoods are subsampled with replacement (the
+  reference draws without replacement; distribution differs only when
+  degree > k).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import PADDED_NODE_ID
+from ..core.batch import DGBatch
+from ..core.graph import DGraph
+from ..util.logging import _get_logger
+from ..util.seed import fork_key
+from .base import SeedableHook, StatefulHook, StatelessHook
+from .registry import hook
+
+logger = _get_logger(__name__)
+
+
+# ---------------------------------------------------------------------- #
+# Pure functional core: recency ring buffers
+# ---------------------------------------------------------------------- #
+def recency_init(num_nodes: int, buf_size: int, edge_dim: int) -> Tuple[jnp.ndarray, ...]:
+    """State: (N+1, B) buffers; row N is the dump row for padded/invalid ids."""
+    n = num_nodes + 1
+    return (
+        jnp.full((n, buf_size), PADDED_NODE_ID, dtype=jnp.int32),
+        jnp.zeros((n, buf_size), dtype=jnp.int32),
+        jnp.zeros((n, buf_size, edge_dim), dtype=jnp.float32),
+        jnp.zeros((n,), dtype=jnp.int32),
+    )
+
+
+def recency_query(
+    state: Tuple[jnp.ndarray, ...],
+    seeds: jnp.ndarray,
+    seed_times: jnp.ndarray,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Return the k most recent neighbors of each seed strictly before its time.
+
+    Mirrors reference recency.py:239-321: unroll each circular buffer so the
+    most recent write sits at the right edge, mask by ``time < seed_time``,
+    find the rightmost valid slot, then gather the k-window ending there.
+    """
+    nbr_ids, nbr_times, nbr_feats, write_pos = state
+    N1, B = nbr_ids.shape
+    num_nodes = N1 - 1
+
+    seed_ok = (seeds >= 0) & (seeds < num_nodes)
+    rows = jnp.where(seed_ok, seeds, num_nodes)  # dump row for invalid seeds
+
+    buf_ids = nbr_ids[rows]  # (S, B)
+    buf_times = nbr_times[rows]
+    wp = write_pos[rows]
+
+    # Unrolled order: oldest ... newest (newest at column B-1).
+    cand_idx = (wp[:, None] - jnp.arange(B, 0, -1)[None, :]) % B  # (S, B)
+    cand_times = jnp.take_along_axis(buf_times, cand_idx, axis=1)
+    cand_ids = jnp.take_along_axis(buf_ids, cand_idx, axis=1)
+    tmask = (cand_times < seed_times[:, None]) & (cand_ids != PADDED_NODE_ID)
+    tmask &= seed_ok[:, None]
+
+    pos = jnp.arange(B)[None, :]
+    last_valid = jnp.where(tmask.any(axis=1), jnp.max(tmask * pos, axis=1), -1)  # (S,)
+
+    offset = jnp.arange(k - 1, -1, -1)[None, :]  # [k-1 .. 0]
+    gather_pos = jnp.maximum(last_valid[:, None] - offset, -1)  # (S, k)
+    out_idx = jnp.where(
+        gather_pos >= 0,
+        jnp.take_along_axis(cand_idx, jnp.maximum(gather_pos, 0), axis=1),
+        -1,
+    )
+    valid = out_idx >= 0
+    safe = jnp.maximum(out_idx, 0)
+
+    out_nbrs = jnp.where(valid, jnp.take_along_axis(buf_ids, safe, axis=1), PADDED_NODE_ID)
+    out_times = jnp.where(valid, jnp.take_along_axis(buf_times, safe, axis=1), 0)
+    feats = jnp.take_along_axis(nbr_feats[rows], safe[:, :, None], axis=1)
+    out_feats = jnp.where(valid[:, :, None], feats, 0.0)
+    return out_nbrs, out_times, out_feats
+
+
+def recency_update(
+    state: Tuple[jnp.ndarray, ...],
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    time: jnp.ndarray,
+    feats: Optional[jnp.ndarray],
+    valid: Optional[jnp.ndarray],
+    directed: bool,
+) -> Tuple[jnp.ndarray, ...]:
+    """Push a batch of edge events into the circular buffers.
+
+    Mirrors reference recency.py:323-399: stable lexicographic sort by
+    (node, time), retain only the last ``B`` events per node so each buffer
+    slot is written at most once (deterministic scatter), bump write positions.
+    """
+    nbr_ids, nbr_times, nbr_feats, write_pos = state
+    N1, B = nbr_ids.shape
+    num_nodes = N1 - 1
+    D = nbr_feats.shape[-1]
+
+    if feats is None:
+        feats = jnp.zeros((src.shape[0], D), dtype=jnp.float32)
+    if valid is None:
+        valid = jnp.ones(src.shape[0], dtype=bool)
+
+    if directed:
+        nodes, nbrs = src, dst
+        t, f, v = time, feats, valid
+    else:
+        nodes = jnp.concatenate([src, dst])
+        nbrs = jnp.concatenate([dst, src])
+        t = jnp.concatenate([time, time])
+        f = jnp.concatenate([feats, feats])
+        v = jnp.concatenate([valid, valid])
+
+    # Invalid entries route to the dump row and sort to the end.
+    nodes = jnp.where(v, nodes, num_nodes)
+
+    # Stable lexsort by (node, time): stable argsort on time, then on node.
+    p1 = jnp.argsort(t, stable=True)
+    p2 = jnp.argsort(nodes[p1], stable=True)
+    perm = p1[p2]
+    s_nodes, s_nbrs, s_t, s_f = nodes[perm], nbrs[perm], t[perm], f[perm]
+
+    E = s_nodes.shape[0]
+    idx = jnp.arange(E)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), s_nodes[1:] != s_nodes[:-1]])
+    # Start index of each element's group: running max of start positions.
+    group_start = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, idx, -1))
+    pos_in_group = idx - group_start
+    cnt = jax.ops.segment_sum(jnp.ones_like(s_nodes), s_nodes, num_segments=N1)
+    cnt_elem = cnt[s_nodes]
+    keep = pos_in_group >= (cnt_elem - B)
+
+    # Rank among kept entries of the same group.
+    kept_offset = pos_in_group - jnp.maximum(cnt_elem - B, 0)
+    write_idx = (write_pos[s_nodes] + kept_offset) % B
+
+    rows = jnp.where(keep, s_nodes, num_nodes)
+    cols = jnp.where(keep, write_idx, 0)
+    nbr_ids = nbr_ids.at[rows, cols].set(s_nbrs, mode="drop")
+    nbr_times = nbr_times.at[rows, cols].set(s_t.astype(jnp.int32), mode="drop")
+    nbr_feats = nbr_feats.at[rows, cols].set(s_f, mode="drop")
+
+    bump = jax.ops.segment_sum(keep.astype(jnp.int32), s_nodes, num_segments=N1)
+    write_pos = write_pos + bump
+    # Keep the dump row pristine.
+    nbr_ids = nbr_ids.at[num_nodes].set(PADDED_NODE_ID)
+    nbr_times = nbr_times.at[num_nodes].set(0)
+    nbr_feats = nbr_feats.at[num_nodes].set(0.0)
+    write_pos = write_pos.at[num_nodes].set(0)
+    return nbr_ids, nbr_times, nbr_feats, write_pos
+
+
+# ---------------------------------------------------------------------- #
+# Hooks
+# ---------------------------------------------------------------------- #
+class _NeighborHookBase(SeedableHook, StatefulHook):
+    """Shared multi-hop plumbing: seed collection and per-hop output lists."""
+
+    _cls_requires = {"edge_src", "edge_dst", "edge_time"}
+    _cls_produces = {
+        "seed_nids",
+        "seed_times",
+        "nbr_nids",
+        "nbr_edge_time",
+        "nbr_edge_x",
+        "seed_node_nbr_mask",
+    }
+
+    def __init__(
+        self,
+        num_nbrs: Sequence[int],
+        seed_nodes_keys: List[str],
+        seed_times_keys: List[str],
+        directed: bool = False,
+        id: Optional[str] = None,
+    ) -> None:
+        if not len(num_nbrs):
+            raise ValueError("num_nbrs must be non-empty")
+        if not all(isinstance(x, int) and x > 0 for x in num_nbrs):
+            raise ValueError("Each value in num_nbrs must be a positive integer")
+        if len(seed_nodes_keys) != len(seed_times_keys):
+            raise ValueError(
+                f"len(seed_nodes_keys) ({len(seed_nodes_keys)}) != "
+                f"len(seed_times_keys) ({len(seed_times_keys)})"
+            )
+        super().__init__(seed_keys=seed_nodes_keys, id=id)
+        self._num_nbrs = list(num_nbrs)
+        self._directed = directed
+        self._seed_nodes_keys = seed_nodes_keys
+        self._seed_times_keys = seed_times_keys
+        self.state: Any = None
+
+    @property
+    def num_nbrs(self) -> List[int]:
+        return self._num_nbrs
+
+    def _get_seeds(self, batch: DGBatch) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+        seeds, times, mask = [], [], {}
+        offset = 0
+        for nk, tk in zip(self._seed_nodes_keys, self._seed_times_keys):
+            if not batch.has(nk) or not batch.has(tk):
+                raise ValueError(f"Missing seed attributes {[nk, tk]} on batch")
+            s = getattr(batch, nk)
+            t = getattr(batch, tk)
+            seeds.append(s)
+            times.append(t)
+            mask[nk] = jnp.arange(offset, offset + s.shape[0])
+            offset += s.shape[0]
+        return jnp.concatenate(seeds), jnp.concatenate(times), mask
+
+    def _emit(self, batch, seed_nids, seed_times, nbr_nids, nbr_time, nbr_x, seed_mask):
+        self.add_batch_attribute(batch, "seed_nids", seed_nids)
+        self.add_batch_attribute(batch, "seed_times", seed_times)
+        self.add_batch_attribute(batch, "nbr_nids", nbr_nids)
+        self.add_batch_attribute(batch, "nbr_edge_time", nbr_time)
+        self.add_batch_attribute(batch, "nbr_edge_x", nbr_x)
+        self.add_batch_attribute(batch, "seed_node_nbr_mask", seed_mask)
+
+
+@hook
+class RecencyNeighborHook(_NeighborHookBase):
+    """K most-recent temporal neighbors per node, maintained incrementally."""
+
+    def __init__(
+        self,
+        num_nodes: int,
+        num_nbrs: Sequence[int],
+        seed_nodes_keys: List[str],
+        seed_times_keys: List[str],
+        directed: bool = False,
+        edge_dim: Optional[int] = None,
+        id: Optional[str] = None,
+    ) -> None:
+        super().__init__(num_nbrs, seed_nodes_keys, seed_times_keys, directed, id)
+        self._num_nodes = num_nodes
+        self._max_nbrs = max(self._num_nbrs)
+        self._edge_dim = edge_dim
+
+    def init_state(self, dg: Optional[DGraph] = None) -> Any:
+        if self._edge_dim is None:
+            self._edge_dim = (dg.edge_x_dim if dg is not None else 0) or 0
+        return recency_init(self._num_nodes, self._max_nbrs, self._edge_dim)
+
+    def reset_state(self) -> None:
+        self.state = None
+
+    def apply(self, state: Any, batch: DGBatch) -> Tuple[Any, DGBatch]:
+        seeds, times, seed_mask = self._get_seeds(batch)
+        hop_seeds, hop_times = [seeds], [times]
+        hop_nbrs, hop_nbr_t, hop_nbr_x = [], [], []
+        for hop, k in enumerate(self._num_nbrs):
+            if hop > 0:
+                seeds = hop_nbrs[hop - 1].reshape(-1)
+                times = hop_nbr_t[hop - 1].reshape(-1)
+                hop_seeds.append(seeds)
+                hop_times.append(times)
+            nbrs, nts, nxs = recency_query(state, seeds, times, k)
+            hop_nbrs.append(nbrs)
+            hop_nbr_t.append(nts)
+            hop_nbr_x.append(nxs)
+
+        state = recency_update(
+            state,
+            batch.edge_src,
+            batch.edge_dst,
+            batch.edge_time,
+            batch.edge_x,
+            batch.edge_valid,
+            self._directed,
+        )
+        self._emit(batch, hop_seeds, hop_times, hop_nbrs, hop_nbr_t, hop_nbr_x, seed_mask)
+        return state, batch
+
+    def __call__(self, dg: DGraph, batch: DGBatch) -> DGBatch:
+        if self.state is None:
+            self.state = self.init_state(dg)
+        self.state, batch = self.jit_apply(self.state, batch)
+        return batch
+
+
+@hook
+class NeighborSamplerHook(_NeighborHookBase):
+    """Uniform temporal neighbor sampling over the full history before the batch.
+
+    Device-side: queries the storage's temporal CSR with vectorized bisection.
+    """
+
+    def __init__(
+        self,
+        num_nbrs: Sequence[int],
+        seed_nodes_keys: List[str],
+        seed_times_keys: List[str],
+        directed: bool = False,
+        id: Optional[str] = None,
+    ) -> None:
+        super().__init__(num_nbrs, seed_nodes_keys, seed_times_keys, directed, id)
+        self._csr: Optional[Tuple[jnp.ndarray, ...]] = None
+        self._edge_x: Optional[jnp.ndarray] = None
+        self._edge_dim = 0
+
+    def init_state(self, dg: DGraph) -> Any:
+        if self._csr is None:
+            row_ptr, nbrs, times, eids, _, _ = dg._storage.temporal_csr(self._directed)
+            self._csr = (
+                jnp.asarray(row_ptr.astype(np.int32)),
+                jnp.asarray(nbrs),
+                jnp.asarray(times.astype(np.int32)),
+                jnp.asarray(eids.astype(np.int32)),
+            )
+            edge_x = dg._storage._data.edge_x
+            self._edge_dim = 0 if edge_x is None else edge_x.shape[1]
+            self._edge_x = None if edge_x is None else jnp.asarray(edge_x)
+        return fork_key()
+
+    def reset_state(self) -> None:
+        self.state = None
+
+    def _query(
+        self, key: jnp.ndarray, seeds: jnp.ndarray, end_time: jnp.ndarray, k: int
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        row_ptr, nbrs, times, eids = self._csr
+        num_nodes = row_ptr.shape[0] - 1
+        seed_ok = (seeds >= 0) & (seeds < num_nodes)
+        rows = jnp.where(seed_ok, seeds, 0)
+        lo = row_ptr[rows]
+        hi0 = row_ptr[rows + 1]
+
+        # Vectorized bisection: first index in [lo, hi0) with time > end_time.
+        def body(_, carry):
+            lo_, hi_ = carry
+            mid = (lo_ + hi_) // 2
+            go_right = times[jnp.clip(mid, 0, times.shape[0] - 1)] <= end_time
+            return jnp.where(go_right, mid + 1, lo_), jnp.where(go_right, hi_, mid)
+
+        lo2, hi2 = jax.lax.fori_loop(0, 32, body, (lo, hi0))
+        cnt = jnp.where(seed_ok, jnp.maximum(lo2 - lo, 0), 0)  # candidates per seed
+
+        cols = jnp.arange(k)[None, :]
+        take = cols < jnp.minimum(cnt, k)[:, None]
+        # Default left-aligned first-k; oversized rows get uniform draws
+        # (with replacement) over their candidate window.
+        key, sub = jax.random.split(key)
+        rand = jax.random.randint(sub, (seeds.shape[0], k), 0, jnp.int32(2**31 - 1))
+        over = (cnt > k)[:, None]
+        offs = jnp.where(over, rand % jnp.maximum(cnt, 1)[:, None], cols)
+        idx = jnp.clip(lo[:, None] + offs, 0, times.shape[0] - 1)
+
+        out_ids = jnp.where(take, nbrs[idx], PADDED_NODE_ID)
+        out_t = jnp.where(take, times[idx], 0)
+        if self._edge_x is not None:
+            out_x = jnp.where(take[:, :, None], self._edge_x[eids[idx]], 0.0)
+        else:
+            out_x = jnp.zeros((seeds.shape[0], k, 0), dtype=jnp.float32)
+        return out_ids, out_t, out_x
+
+    def apply(self, state: Any, batch: DGBatch) -> Tuple[Any, DGBatch]:
+        key = state
+        seeds, times, seed_mask = self._get_seeds(batch)
+        if batch.edge_valid is not None:
+            big = jnp.iinfo(jnp.int32).max
+            t_min = jnp.min(jnp.where(batch.edge_valid, batch.edge_time, big))
+        else:
+            t_min = jnp.min(batch.edge_time)
+        end_time = t_min - 1  # strictly before this batch
+
+        hop_seeds, hop_times = [seeds], [times]
+        hop_nbrs, hop_nbr_t, hop_nbr_x = [], [], []
+        for hop, k in enumerate(self._num_nbrs):
+            if hop > 0:
+                seeds = hop_nbrs[hop - 1].reshape(-1)
+                times = hop_nbr_t[hop - 1].reshape(-1)
+                hop_seeds.append(seeds)
+                hop_times.append(times)
+            key, sub = jax.random.split(key)
+            nbrs, nts, nxs = self._query(sub, seeds, end_time, k)
+            hop_nbrs.append(nbrs)
+            hop_nbr_t.append(nts)
+            hop_nbr_x.append(nxs)
+
+        self._emit(batch, hop_seeds, hop_times, hop_nbrs, hop_nbr_t, hop_nbr_x, seed_mask)
+        return key, batch
+
+    def __call__(self, dg: DGraph, batch: DGBatch) -> DGBatch:
+        if self.state is None:
+            self.state = self.init_state(dg)
+        self.state, batch = self.jit_apply(self.state, batch)
+        return batch
