@@ -1,0 +1,239 @@
+"""TGAT link prediction.
+
+Parity: /root/reference/examples/linkproppred/tgat.py — recipe hook manager
+(random negatives for train, TGB candidates for val/test), recency or uniform
+neighbor sampling over [src, dst, neg] seeds, BCE training of
+TGAT + LinkPredictor, TGB MRR evaluation.
+
+TPU-first: the hook pipeline and the model step are composed into ONE jitted
+function per phase; hook state (recency buffers, PRNG keys) is threaded
+functionally and donated, so each batch is a single device dispatch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+from examples._datasets import load_dataset
+from tgm_tpu import DGDataLoader, DGraph
+from tgm_tpu.constants import PADDED_NODE_ID
+from tgm_tpu.eval.metrics import mrr_sum_count
+from tgm_tpu.hooks import (
+    HookManager,
+    NeighborSamplerHook,
+    RandomNegativeEdgeSamplerHook,
+    RecencyNeighborHook,
+    TGBNegativeEdgeSamplerHook,
+)
+from tgm_tpu.nn import TGAT, LinkPredictor
+from tgm_tpu.util import enable_logging, log_metric, seed_everything
+
+
+def parse_args() -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="TGAT LinkPropPred Example")
+    p.add_argument("--seed", type=int, default=1337)
+    p.add_argument("--dataset", type=str, default="synthetic")
+    p.add_argument("--bsize", type=int, default=200)
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--dropout", type=float, default=0.1)
+    p.add_argument("--n-heads", type=int, default=2)
+    p.add_argument("--n-nbrs", type=int, nargs="+", default=[20, 20])
+    p.add_argument("--time-dim", type=int, default=100)
+    p.add_argument("--embed-dim", type=int, default=172)
+    p.add_argument("--sampling", type=str, default="recency", choices=["uniform", "recency"])
+    p.add_argument("--log-file-path", type=str, default=None)
+    return p.parse_args()
+
+
+def bce_with_logits(logits, target, mask):
+    loss = optax.sigmoid_binary_cross_entropy(logits, target)
+    w = mask.astype(loss.dtype)
+    return jnp.sum(loss * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def main() -> None:
+    args = parse_args()
+    enable_logging(log_file_path=args.log_file_path)
+    seed_everything(args.seed)
+
+    data, val_cands, test_cands = load_dataset(args.dataset)
+    if data.static_node_x is None:
+        rng = np.random.default_rng(args.seed)
+        data.static_node_x = rng.normal(size=(data.num_nodes, 1)).astype(np.float32)
+    num_nodes = data.num_nodes
+    train_data, val_data, test_data = data.split()
+    train_dg, val_dg, test_dg = DGraph(train_data), DGraph(val_data), DGraph(test_data)
+    node_x = jnp.asarray(data.static_node_x)
+
+    # --- hooks -------------------------------------------------------- #
+    hm = HookManager(keys=["train", "val", "test"])
+    dst = train_dg.edge_dst
+    hm.register("train", RandomNegativeEdgeSamplerHook(low=int(dst.min()), high=int(dst.max())))
+    if val_cands is not None:
+        hm.register("val", TGBNegativeEdgeSamplerHook(candidates=val_cands))
+        hm.register("test", TGBNegativeEdgeSamplerHook(candidates=test_cands))
+    else:
+        hm.register("val", TGBNegativeEdgeSamplerHook(args.dataset, split_mode="val"))
+        hm.register("test", TGBNegativeEdgeSamplerHook(args.dataset, split_mode="test"))
+
+    seed_keys = ["edge_src", "edge_dst", "neg"]
+    time_keys = ["edge_time", "edge_time", "neg_time"]
+    if args.sampling == "recency":
+        nbr_hook = RecencyNeighborHook(
+            num_nodes, args.n_nbrs, seed_keys, time_keys, edge_dim=train_dg.edge_x_dim or 0
+        )
+    else:
+        nbr_hook = NeighborSamplerHook(args.n_nbrs, seed_keys, time_keys)
+    hm.register_shared(nbr_hook)
+
+    # --- model -------------------------------------------------------- #
+    encoder = TGAT(
+        node_dim=node_x.shape[1],
+        edge_dim=train_dg.edge_x_dim or 0,
+        time_dim=args.time_dim,
+        embed_dim=args.embed_dim,
+        num_layers=len(args.n_nbrs),
+        n_heads=args.n_heads,
+        dropout=args.dropout,
+    )
+    decoder = LinkPredictor(node_dim=args.embed_dim)
+    opt = optax.adam(args.lr)
+
+    # Init params from one materialized train batch.
+    loader = DGDataLoader(train_dg, args.bsize, hook_manager=hm)
+    with hm.activate("train"):
+        init_batch = next(iter(loader))
+    hm.reset_state()
+
+    key = jax.random.PRNGKey(args.seed)
+    key, k_enc, k_dec = jax.random.split(key, 3)
+    enc_params = encoder.init(
+        k_enc,
+        node_x,
+        init_batch.seed_nids,
+        init_batch.seed_times,
+        init_batch.nbr_nids,
+        init_batch.nbr_edge_x,
+        init_batch.nbr_edge_time,
+    )
+    z_dim = args.embed_dim
+    dec_params = decoder.init(k_dec, jnp.zeros((1, z_dim)), jnp.zeros((1, z_dim)))
+    params = {"enc": enc_params, "dec": dec_params}
+    opt_state = opt.init(params)
+
+    def encode(p, batch, rng=None):
+        det = rng is None
+        rngs = None if det else {"dropout": rng}
+        return encoder.apply(
+            p["enc"],
+            node_x,
+            batch.seed_nids,
+            batch.seed_times,
+            batch.nbr_nids,
+            batch.nbr_edge_x,
+            batch.nbr_edge_time,
+            deterministic=det,
+            rngs=rngs,
+        )
+
+    @partial(jax.jit, donate_argnums=(1, 2))
+    def train_step(params, opt_state, rng, batch):
+        rng, dropout_rng = jax.random.split(rng)
+        B = batch.edge_src.shape[0]
+
+        def loss_fn(p):
+            z = encode(p, batch, dropout_rng)
+            z_src, z_dst, z_neg = z[:B], z[B : 2 * B], z[2 * B : 3 * B]
+            pos = decoder.apply(p["dec"], z_src, z_dst)
+            neg = decoder.apply(p["dec"], z_src, z_neg)
+            m = batch.edge_valid
+            return bce_with_logits(pos, jnp.ones_like(pos), m) + bce_with_logits(
+                neg, jnp.zeros_like(neg), m
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, rng, loss
+
+    @jax.jit
+    def eval_step(params, batch):
+        B = batch.edge_src.shape[0]
+        Q = batch.neg_batch_list.shape[1]
+        z = encode(params, batch)
+        z_src, z_dst = z[:B], z[B : 2 * B]
+        z_neg = z[2 * B :].reshape(B, Q, -1)
+        pos_score = decoder.apply(params["dec"], z_src, z_dst)
+        neg_score = decoder.apply(
+            params["dec"],
+            jnp.repeat(z_src[:, None, :], Q, axis=1).reshape(B * Q, -1),
+            z_neg.reshape(B * Q, -1),
+        ).reshape(B, Q)
+        return mrr_sum_count(
+            pos_score,
+            neg_score,
+            neg_valid=batch.neg_batch_list != PADDED_NODE_ID,
+            edge_valid=batch.edge_valid,
+        )
+
+    def run_train(epoch):
+        nonlocal params, opt_state, key
+        loader = DGDataLoader(train_dg, args.bsize, hook_manager=hm)
+        total_loss, nb = 0.0, 0
+        with hm.activate("train"):
+            for batch in loader:
+                params, opt_state, key, loss = train_step(params, opt_state, key, batch)
+                total_loss += float(loss)
+                nb += 1
+        return total_loss / max(nb, 1)
+
+    def run_eval(dg, split):
+        loader = DGDataLoader(dg, args.bsize, hook_manager=hm)
+        s, c = 0.0, 0.0
+        with hm.activate(split):
+            for batch in loader:
+                ds, dc = eval_step(params, batch)
+                s += float(ds)
+                c += float(dc)
+        return s / max(c, 1.0)
+
+    n_train_edges = train_dg.num_edge_events
+    for epoch in range(args.epochs):
+        t0 = time.perf_counter()
+        loss = run_train(epoch)
+        train_dt = time.perf_counter() - t0
+        val_mrr = run_eval(val_dg, "val")
+        log_metric("loss", loss, epoch=epoch)
+        log_metric("val_mrr", val_mrr, epoch=epoch)
+        print(
+            f"epoch={epoch} loss={loss:.4f} val_mrr={val_mrr:.4f} "
+            f"train_edges/s={n_train_edges / train_dt:.0f}"
+        )
+        hm.reset_state()
+
+    # Final pass: replay train+val streams to warm hook state, then test.
+    with hm.activate("train"):
+        for _ in DGDataLoader(train_dg, args.bsize, hook_manager=hm):
+            pass
+    with hm.activate("val"):
+        for _ in DGDataLoader(val_dg, args.bsize, hook_manager=hm):
+            pass
+    test_mrr = run_eval(test_dg, "test")
+    log_metric("test_mrr", test_mrr)
+    print(f"test_mrr={test_mrr:.4f}")
+
+
+if __name__ == "__main__":
+    main()

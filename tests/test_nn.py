@@ -1,0 +1,166 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tgm_tpu.constants import PADDED_NODE_ID
+from tgm_tpu.nn import (
+    TGAT,
+    ConcatMerge,
+    GraphPredictor,
+    LearnableSumMerge,
+    LinkPredictor,
+    MLPMixer,
+    MeanEmbdPooling,
+    NodePredictor,
+    SumEmbdPooling,
+    TemporalAttention,
+    Time2Vec,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_time2vec_shapes_and_init():
+    m = Time2Vec(time_dim=8)
+    params = m.init(KEY, jnp.zeros(5))
+    out = m.apply(params, jnp.array([0.0, 1.0, 100.0]))
+    assert out.shape == (3, 8)
+    # cos(0) = 1 for t=0 with zero bias
+    np.testing.assert_allclose(np.asarray(out[0]), np.ones(8), atol=1e-6)
+    w = np.asarray(params["params"]["w"]).reshape(-1)
+    np.testing.assert_allclose(w, 1 / 10 ** np.linspace(0, 9, 8), rtol=1e-6)
+
+
+def test_temporal_attention_shapes():
+    B, K = 6, 4
+    m = TemporalAttention(n_heads=2, node_dim=10, edge_dim=3, time_dim=5, dropout=0.0)
+    args = (
+        jnp.ones((B, 10)),
+        jnp.ones((B, 5)),
+        jnp.ones((B, K, 3)),
+        jnp.ones((B, K, 10)),
+        jnp.ones((B, K, 5)),
+        jnp.ones((B, K), dtype=bool),
+    )
+    params = m.init(KEY, *args)
+    out = m.apply(params, *args)
+    # out_dim = node+time padded to multiple of heads: 15 -> 16
+    assert out.shape == (B, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_temporal_attention_empty_neighborhood_no_nan():
+    B, K = 2, 3
+    m = TemporalAttention(n_heads=2, node_dim=4, edge_dim=2, time_dim=4, dropout=0.0)
+    args = (
+        jnp.ones((B, 4)),
+        jnp.ones((B, 4)),
+        jnp.ones((B, K, 2)),
+        jnp.ones((B, K, 4)),
+        jnp.ones((B, K, 4)),
+        jnp.zeros((B, K), dtype=bool),  # no valid neighbors at all
+    )
+    params = m.init(KEY, *args)
+    out = m.apply(params, *args)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_attention_mask_affects_output():
+    B, K = 1, 3
+    m = TemporalAttention(n_heads=2, node_dim=4, edge_dim=2, time_dim=4, dropout=0.0)
+    nbr = jax.random.normal(KEY, (B, K, 4))
+    args_all = (
+        jnp.ones((B, 4)), jnp.ones((B, 4)), jnp.ones((B, K, 2)), nbr,
+        jnp.ones((B, K, 4)), jnp.ones((B, K), dtype=bool),
+    )
+    params = m.init(KEY, *args_all)
+    out_all = m.apply(params, *args_all)
+    args_one = args_all[:5] + (jnp.array([[True, False, False]]),)
+    out_one = m.apply(params, *args_one)
+    assert not np.allclose(np.asarray(out_all), np.asarray(out_one))
+
+
+def test_mlp_mixer_shapes():
+    m = MLPMixer(num_tokens=7, num_channels=12)
+    x = jnp.ones((3, 7, 12))
+    params = m.init(KEY, x)
+    assert m.apply(params, x).shape == (3, 7, 12)
+
+
+def test_aggregators():
+    z1, z2 = jnp.ones((4, 6)), 2 * jnp.ones((4, 6))
+    cm = ConcatMerge(dim=6)
+    assert cm.out_channels == 12
+    assert cm(z1, z2).shape == (4, 12)
+
+    lsm = LearnableSumMerge(dim=6)
+    params = lsm.init(KEY, z1, z2)
+    assert lsm.apply(params, z1, z2).shape == (4, 6)
+
+    mp = MeanEmbdPooling(dim=6)
+    np.testing.assert_allclose(np.asarray(mp(z1)), np.ones(6))
+    valid = jnp.array([True, True, False, False])
+    np.testing.assert_allclose(np.asarray(mp(z2, valid)), 2 * np.ones(6))
+    sp = SumEmbdPooling(dim=6)
+    np.testing.assert_allclose(np.asarray(sp(z1, valid)), 2 * np.ones(6))
+
+
+def test_link_predictor():
+    m = LinkPredictor(node_dim=8)
+    z = jnp.ones((5, 8))
+    params = m.init(KEY, z, z)
+    out = m.apply(params, z, z)
+    assert out.shape == (5,)
+
+
+def test_node_graph_predictors():
+    m = NodePredictor(in_dim=8, out_dim=3)
+    z = jnp.ones((5, 8))
+    params = m.init(KEY, z)
+    assert m.apply(params, z).shape == (5, 3)
+
+    g = GraphPredictor(in_dim=8, out_dim=2)
+    params = g.init(KEY, z)
+    assert g.apply(params, z).shape == (2,)
+
+
+def _tgat_inputs(num_layers=2, S=5, K=3, node_dim=6, edge_dim=4):
+    rng = np.random.default_rng(0)
+    node_x = jnp.asarray(rng.normal(size=(10, node_dim)).astype(np.float32))
+    seed_nids, seed_times, nbr_nids, nbr_x, nbr_t = [], [], [], [], []
+    s = S
+    for hop in range(num_layers):
+        seed_nids.append(jnp.asarray(rng.integers(0, 10, s), dtype=jnp.int32))
+        seed_times.append(jnp.asarray(rng.integers(50, 100, s), dtype=jnp.int32))
+        ids = rng.integers(0, 10, (s, K))
+        ids[rng.random((s, K)) < 0.3] = PADDED_NODE_ID
+        nbr_nids.append(jnp.asarray(ids, dtype=jnp.int32))
+        nbr_x.append(jnp.asarray(rng.normal(size=(s, K, edge_dim)).astype(np.float32)))
+        nbr_t.append(jnp.asarray(rng.integers(0, 50, (s, K)), dtype=jnp.int32))
+        s *= K
+    return node_x, seed_nids, seed_times, nbr_nids, nbr_x, nbr_t
+
+
+def test_tgat_forward():
+    node_x, *rest = _tgat_inputs()
+    m = TGAT(node_dim=6, edge_dim=4, time_dim=8, embed_dim=16, num_layers=2, dropout=0.0)
+    params = m.init(KEY, node_x, *rest)
+    z = m.apply(params, node_x, *rest)
+    assert z.shape == (5, 16)
+    assert np.isfinite(np.asarray(z)).all()
+
+
+def test_tgat_jit_and_grad():
+    node_x, *rest = _tgat_inputs(num_layers=1)
+    m = TGAT(node_dim=6, edge_dim=4, time_dim=8, embed_dim=16, num_layers=1, dropout=0.0)
+    params = m.init(KEY, node_x, *rest)
+
+    @jax.jit
+    def loss(p):
+        return jnp.sum(m.apply(p, node_x, *rest) ** 2)
+
+    g = jax.grad(loss)(params)
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+    assert any(float(jnp.abs(x).sum()) > 0 for x in flat)

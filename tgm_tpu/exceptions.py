@@ -17,6 +17,10 @@ class BadEncoderProtocolError(TGMError):
     """An encoder module does not satisfy the EncoderModule protocol."""
 
 
+class BadAggregatorProtocolError(TGMError):
+    """An aggregator does not satisfy the Aggregator protocol."""
+
+
 class UnresolvableHookDependenciesError(TGMError):
     """The hook requires/produces graph has a cycle or missing producer."""
 

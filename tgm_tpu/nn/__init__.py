@@ -1,3 +1,37 @@
 from .base import EncoderModule
+from . import decoder, encoder, modules
+from .decoder import GraphPredictor, LinkPredictor, NodePredictor
+from .encoder import TGAT
+from .modules import (
+    Aggregator,
+    ConcatMerge,
+    EdgeBankPredictor,
+    FeedForwardNet,
+    LearnableSumMerge,
+    MLPMixer,
+    MeanEmbdPooling,
+    SumEmbdPooling,
+    TemporalAttention,
+    Time2Vec,
+)
 
-__all__ = ["EncoderModule"]
+__all__ = [
+    "Aggregator",
+    "ConcatMerge",
+    "EdgeBankPredictor",
+    "EncoderModule",
+    "FeedForwardNet",
+    "GraphPredictor",
+    "LearnableSumMerge",
+    "LinkPredictor",
+    "MLPMixer",
+    "MeanEmbdPooling",
+    "NodePredictor",
+    "SumEmbdPooling",
+    "TGAT",
+    "TemporalAttention",
+    "Time2Vec",
+    "decoder",
+    "encoder",
+    "modules",
+]
