@@ -1,0 +1,146 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tgm_tpu.constants import PADDED_NODE_ID
+from tgm_tpu.nn.encoder.tgn import (
+    GraphAttentionEmbedding,
+    TGNMemory,
+    tgn_init_state,
+    tgn_store_messages,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def make_memory(N=10, D=8, R=4, T=6):
+    mem = TGNMemory(num_nodes=N, raw_msg_dim=R, memory_dim=D, time_dim=T)
+    state = mem.init_state()
+    params = mem.init(KEY, state, jnp.zeros(4, jnp.int32))
+    return mem, state, params
+
+
+def test_store_keeps_last_message():
+    _, state, _ = make_memory()
+    # node 0 as src in two events: t=5 then t=9 -> store keeps t=9 (dst=2)
+    src = jnp.array([0, 0])
+    dst = jnp.array([1, 2])
+    t = jnp.array([5, 9])
+    raw = jnp.array([[1.0] * 4, [2.0] * 4])
+    state = tgn_store_messages(state, src, dst, t, raw, jnp.array([True, True]))
+    assert int(state.s_other[0]) == 2
+    assert int(state.s_t[0]) == 9
+    np.testing.assert_array_equal(np.asarray(state.s_raw[0]), [2.0] * 4)
+    # dst-role: node 1 got (src=0)@5; node 2 got (src=0)@9
+    assert int(state.d_other[1]) == 0 and int(state.d_t[1]) == 5
+    assert int(state.d_other[2]) == 0 and int(state.d_t[2]) == 9
+
+
+def test_store_tie_prefers_first():
+    _, state, _ = make_memory()
+    # two events for node 0 at the SAME time: LastAggregator picks the first.
+    src = jnp.array([0, 0])
+    dst = jnp.array([1, 2])
+    t = jnp.array([7, 7])
+    raw = jnp.zeros((2, 4))
+    state = tgn_store_messages(state, src, dst, t, raw, jnp.array([True, True]))
+    assert int(state.s_other[0]) == 1  # first event wins the tie
+
+
+def test_store_respects_valid_mask():
+    _, state, _ = make_memory()
+    state = tgn_store_messages(
+        state,
+        jnp.array([0, 3]),
+        jnp.array([1, 4]),
+        jnp.array([5, 6]),
+        jnp.zeros((2, 4)),
+        jnp.array([True, False]),
+    )
+    assert bool(state.s_valid[0])
+    assert not bool(state.s_valid[3])
+
+
+def test_stage_and_flush_semantics():
+    mem, state, params = make_memory()
+    state = tgn_store_messages(
+        state, jnp.array([0]), jnp.array([1]), jnp.array([5]),
+        jnp.ones((1, 4)), jnp.array([True]),
+    )
+    # Staged memory for node 0 differs from stored (pending message exists).
+    z, lu = mem.apply(params, state, jnp.array([0, 5]), method=TGNMemory.stage)
+    assert int(lu[0]) == 5
+    assert int(lu[1]) == 0  # no messages
+    assert not np.allclose(np.asarray(z[0]), np.asarray(state.mem[0]))
+    # Stored memory unchanged until flush.
+    assert np.allclose(np.asarray(state.mem[0]), 0.0)
+    state2 = mem.apply(params, state, jnp.array([0]), method=TGNMemory.flush)
+    np.testing.assert_allclose(np.asarray(state2.mem[0]), np.asarray(z[0]), atol=1e-6)
+    assert int(state2.last_update[0]) == 5
+    # Eval-mode stage reads stored memory directly.
+    z_eval, _ = mem.apply(params, state2, jnp.array([0]), False, method=TGNMemory.stage)
+    np.testing.assert_allclose(np.asarray(z_eval[0]), np.asarray(state2.mem[0]))
+
+
+def test_flush_all_clears_stores():
+    mem, state, params = make_memory()
+    state = tgn_store_messages(
+        state, jnp.array([0]), jnp.array([1]), jnp.array([5]),
+        jnp.ones((1, 4)), jnp.array([True]),
+    )
+    state = mem.apply(params, state, method=TGNMemory.flush_all)
+    assert not bool(state.s_valid.any())
+    assert not bool(state.d_valid.any())
+    assert int(state.last_update[0]) == 5
+
+
+def test_padded_ids_hit_dump_row():
+    mem, state, params = make_memory(N=10)
+    nids = jnp.array([PADDED_NODE_ID, 0])
+    z, lu = mem.apply(params, state, nids, method=TGNMemory.stage)
+    assert z.shape == (2, 8)
+    state2 = mem.apply(params, state, nids, method=TGNMemory.flush)
+    # Dump row must stay zero.
+    assert np.allclose(np.asarray(state2.mem[10]), 0.0)
+
+
+def test_graph_attention_embedding_grad():
+    enc = GraphAttentionEmbedding(in_channels=8, out_channels=8, msg_dim=4, time_dim=6, dropout=0.0)
+    U, E = 6, 10
+    x = jax.random.normal(KEY, (U, 8))
+    args = (
+        x, jnp.zeros(U, jnp.int32),
+        jnp.arange(E, dtype=jnp.int32) % U, (jnp.arange(E, dtype=jnp.int32) + 1) % U,
+        jnp.zeros(E, jnp.int32), jnp.ones((E, 4)),
+        jnp.array([True] * 7 + [False] * 3),
+    )
+    params = enc.init(KEY, *args)
+
+    def loss(p, xx):
+        out = enc.apply(p, xx, *args[1:])
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss, argnums=(0, 1))(params, x)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_graph_attention_all_masked_no_nan():
+    enc = GraphAttentionEmbedding(in_channels=8, out_channels=8, msg_dim=4, time_dim=6, dropout=0.0)
+    U, E = 4, 6
+    x = jax.random.normal(KEY, (U, 8))
+    args = (
+        x, jnp.zeros(U, jnp.int32),
+        jnp.zeros(E, jnp.int32), jnp.zeros(E, jnp.int32),
+        jnp.zeros(E, jnp.int32), jnp.ones((E, 4)),
+        jnp.zeros(E, bool),
+    )
+    params = enc.init(KEY, *args)
+
+    def loss(p):
+        return jnp.sum(enc.apply(p, *args) ** 2)
+
+    val = loss(params)
+    g = jax.grad(loss)(params)
+    assert np.isfinite(float(val))
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))
