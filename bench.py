@@ -1,0 +1,122 @@
+"""Benchmark: TGN training throughput (edges/sec/chip) on tgbl-wiki-shaped data.
+
+Primary driver metric (BASELINE.md): edges/sec/chip on tgbl-wiki TGN training.
+The tgb package (and network egress) is unavailable in this image, so the
+stream is synthetic but exactly tgbl-wiki-shaped: 9,227 nodes, 157,474 edge
+events, 172-dim edge features, batch size 200 — the same shapes the reference
+trains on.
+
+Execution model: the full epoch runs as ONE jitted ``lax.scan`` over
+device-resident edge windows (tgm_tpu.train) — recency sampling, negative
+sampling, TGN memory staging/commit, TransformerConv embedding, loss and the
+optimizer update all fused into the scan body. Timing excludes compilation
+(first epoch warms up, subsequent epochs are measured).
+
+``vs_baseline`` compares against an estimated TGM reference throughput of
+15,000 edges/s (A100, bsize 200; the reference repo publishes no absolute
+numbers — see BASELINE.md — so this constant is a placeholder until a real
+TGM-CUDA measurement lands).
+
+Prints exactly one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+# Reference-throughput placeholder (see module docstring).
+BASELINE_EDGES_PER_SEC = 15_000.0
+
+# tgbl-wiki shape constants.
+WIKI_NODES = 9_227
+WIKI_EDGES = 157_474
+WIKI_EDGE_DIM = 172
+
+
+def build_stream(num_nodes: int, num_edges: int, edge_dim: int, seed: int = 0):
+    from tgm_tpu.data.dg_data import DGData
+
+    rng = np.random.default_rng(seed)
+    # Bipartite-ish zipf interactions, like wiki user->page edits.
+    pop = rng.zipf(1.4, size=num_nodes).astype(np.float64)
+    pop /= pop.sum()
+    src = rng.choice(num_nodes, size=num_edges, p=pop)
+    dst = rng.choice(num_nodes, size=num_edges, p=pop)
+    dst = np.where(dst == src, (dst + 1) % num_nodes, dst)
+    t = np.sort(rng.integers(0, 2_678_373, size=num_edges))  # wiki's ~31 day span
+    edge_x = rng.normal(size=(num_edges, edge_dim)).astype(np.float32)
+    return DGData.from_raw(
+        edge_time=t,
+        edge_index=np.stack([src, dst], 1),
+        edge_x=edge_x,
+        time_delta="s",
+    )
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--smoke", action="store_true", help="tiny shapes, fast check")
+    p.add_argument("--bsize", type=int, default=200)
+    p.add_argument("--epochs", type=int, default=2, help="timed epochs after warmup")
+    args = p.parse_args()
+
+    import jax
+
+    from tgm_tpu.core.graph import DGraph
+    from tgm_tpu.train import DeviceEdgeStream, TGNPipeline, jit_scan_epoch
+
+    if args.smoke:
+        num_nodes, num_edges, edge_dim = 500, 8_000, 32
+    else:
+        num_nodes, num_edges, edge_dim = WIKI_NODES, WIKI_EDGES, WIKI_EDGE_DIM
+
+    data = build_stream(num_nodes, num_edges, edge_dim)
+    dg = DGraph(data)
+    stream = DeviceEdgeStream(dg, args.bsize)
+
+    pipe = TGNPipeline(
+        num_nodes=num_nodes,
+        edge_dim=edge_dim,
+        memory_dim=100,
+        embed_dim=100,
+        time_dim=100,
+        num_nbrs=10,
+        lr=1e-4,
+        neg_low=int(dg.edge_dst.min()),
+        neg_high=int(dg.edge_dst.max()),
+    )
+    carry = pipe.init_carry(jax.random.PRNGKey(0))
+    epoch = jit_scan_epoch(pipe.train_step, stream.batch_at, stream.num_batches)
+
+    # Warmup / compile.
+    carry, losses = epoch(carry)
+    jax.block_until_ready(losses)
+    first_loss = float(np.asarray(losses)[0])
+    assert np.isfinite(first_loss), f"non-finite loss: {first_loss}"
+
+    times = []
+    for _ in range(max(args.epochs, 1)):
+        t0 = time.perf_counter()
+        carry, losses = epoch(carry)
+        jax.block_until_ready(losses)
+        times.append(time.perf_counter() - t0)
+
+    edges_per_sec = num_edges / min(times)
+    print(
+        json.dumps(
+            {
+                "metric": "tgn_train_edges_per_sec_tgbl_wiki_shape",
+                "value": round(edges_per_sec, 1),
+                "unit": "edges/s",
+                "vs_baseline": round(edges_per_sec / BASELINE_EDGES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

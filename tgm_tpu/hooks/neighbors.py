@@ -48,9 +48,17 @@ logger = _get_logger(__name__)
 # ---------------------------------------------------------------------- #
 # Pure functional core: recency ring buffers
 # ---------------------------------------------------------------------- #
-def recency_init(num_nodes: int, buf_size: int, edge_dim: int) -> Tuple[jnp.ndarray, ...]:
-    """State: (N+1, B) buffers; row N is the dump row for padded/invalid ids."""
+def recency_init(
+    num_nodes: int, buf_size: int, edge_dim: int, row_multiple: int = 1
+) -> Tuple[jnp.ndarray, ...]:
+    """State: (>=N+1, B) buffers; the LAST row is the dump row for padded ids.
+
+    ``row_multiple`` rounds the row count up so the node axis divides evenly
+    across a device mesh; rows between N and the dump row are never addressed.
+    """
     n = num_nodes + 1
+    if row_multiple > 1:
+        n = -(-n // row_multiple) * row_multiple
     return (
         jnp.full((n, buf_size), PADDED_NODE_ID, dtype=jnp.int32),
         jnp.zeros((n, buf_size), dtype=jnp.int32),

@@ -1,7 +1,7 @@
 from .base import EncoderModule
 from . import decoder, encoder, modules
 from .decoder import GraphPredictor, LinkPredictor, NodePredictor
-from .encoder import TGAT
+from .encoder import GCN, GCLSTM, ROLAND, TGAT, TGCN, TGNMemory
 from .modules import (
     Aggregator,
     ConcatMerge,
@@ -18,6 +18,11 @@ from .modules import (
 __all__ = [
     "Aggregator",
     "ConcatMerge",
+    "GCN",
+    "GCLSTM",
+    "ROLAND",
+    "TGCN",
+    "TGNMemory",
     "EdgeBankPredictor",
     "EncoderModule",
     "FeedForwardNet",

@@ -53,8 +53,12 @@ class TGNMemoryState(NamedTuple):
     d_valid: jnp.ndarray
 
 
-def tgn_init_state(num_nodes: int, memory_dim: int, raw_msg_dim: int) -> TGNMemoryState:
+def tgn_init_state(
+    num_nodes: int, memory_dim: int, raw_msg_dim: int, row_multiple: int = 1
+) -> TGNMemoryState:
     n = num_nodes + 1
+    if row_multiple > 1:
+        n = -(-n // row_multiple) * row_multiple
     z = jnp.zeros
     return TGNMemoryState(
         mem=z((n, memory_dim)),
@@ -207,16 +211,16 @@ class TGNMemory(nn.Module):
     def flush_all(self, state: TGNMemoryState) -> TGNMemoryState:
         """Train→eval transition (tgn.py:245-251): flush every node, clear stores."""
         state = self.flush(state, jnp.arange(self.num_nodes))
-        n = self.num_nodes
+        rows = state.mem.shape[0]  # may exceed num_nodes+1 when mesh-padded
         return state._replace(
-            s_other=jnp.full((n + 1,), PADDED_NODE_ID, jnp.int32),
-            s_t=jnp.zeros((n + 1,), jnp.int32),
+            s_other=jnp.full((rows,), PADDED_NODE_ID, jnp.int32),
+            s_t=jnp.zeros((rows,), jnp.int32),
             s_raw=jnp.zeros_like(state.s_raw),
-            s_valid=jnp.zeros((n + 1,), bool),
-            d_other=jnp.full((n + 1,), PADDED_NODE_ID, jnp.int32),
-            d_t=jnp.zeros((n + 1,), jnp.int32),
+            s_valid=jnp.zeros((rows,), bool),
+            d_other=jnp.full((rows,), PADDED_NODE_ID, jnp.int32),
+            d_t=jnp.zeros((rows,), jnp.int32),
             d_raw=jnp.zeros_like(state.d_raw),
-            d_valid=jnp.zeros((n + 1,), bool),
+            d_valid=jnp.zeros((rows,), bool),
         )
 
     def __call__(self, state: TGNMemoryState, nids: jnp.ndarray):

@@ -1,0 +1,21 @@
+from .mesh import data_model_mesh, initialize_distributed, make_mesh
+from .sharding import (
+    batch_shardings,
+    replicate_tree,
+    replicated,
+    row_sharded,
+    shard_leading_axis,
+    tgn_carry_shardings,
+)
+
+__all__ = [
+    "batch_shardings",
+    "data_model_mesh",
+    "initialize_distributed",
+    "make_mesh",
+    "replicate_tree",
+    "replicated",
+    "row_sharded",
+    "shard_leading_axis",
+    "tgn_carry_shardings",
+]

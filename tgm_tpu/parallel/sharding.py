@@ -1,0 +1,66 @@
+"""Sharding layouts for temporal-GNN training state.
+
+New first-class component (no reference counterpart — SURVEY.md §2.2): the
+TPU scaling strategy is
+
+* **DP over the edge stream**: each batch's edge axis is sharded across the
+  'data' mesh axis — every chip processes a contiguous slice of the batch.
+* **Node-sharded state**: TGN memory rows, recency ring buffers, and message
+  stores are sharded by node id across the same axis. Cross-chip
+  reads/updates (a chip's edges touching another chip's nodes) lower to XLA
+  all-to-all / all-gather collectives inserted by GSPMD — no hand-written
+  NCCL-style code.
+* **Replicated params/optimizer**: model weights are tiny relative to state;
+  gradients all-reduce via psum under jit.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..train.tgn_pipeline import TGNCarry
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def row_sharded(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_leading_axis(mesh: Mesh, tree: Any, axis: str = "data") -> Any:
+    """Sharding pytree: leading axis of every array split over ``axis``."""
+    def spec(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, tree)
+
+
+def replicate_tree(mesh: Mesh, tree: Any) -> Any:
+    return jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), tree)
+
+
+def tgn_carry_shardings(mesh: Mesh, carry: TGNCarry, axis: str = "data") -> TGNCarry:
+    """Sharding layout for a TGN training carry.
+
+    Memory/recency state rows are node-sharded; params/opt replicated; rng
+    replicated.
+    """
+    return TGNCarry(
+        params=replicate_tree(mesh, carry.params),
+        opt_state=replicate_tree(mesh, carry.opt_state),
+        mem_state=shard_leading_axis(mesh, carry.mem_state, axis),
+        rec_state=shard_leading_axis(mesh, carry.rec_state, axis),
+        rng=NamedSharding(mesh, P()),
+    )
+
+
+def batch_shardings(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
+    """DP layout: edge axis of every batch array sharded over ``axis``."""
+    return shard_leading_axis(mesh, batch, axis)

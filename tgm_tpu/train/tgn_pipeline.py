@@ -1,0 +1,215 @@
+"""Self-contained TGN training pipeline for scanned / sharded execution.
+
+Composes the full per-batch program — random negative sampling, recency
+neighbor query/update, dedup, TGN memory staging, TransformerConv embedding,
+BCE loss, optimizer update, memory commit — into one pure
+``train_step(carry, batch) -> (carry, loss)`` suitable for ``lax.scan`` epochs
+and for ``jax.jit`` sharding over a device mesh (bench.py and
+``__graft_entry__.dryrun_multichip`` both build on this).
+
+Semantics match examples/linkproppred/tgn.py (which mirrors the reference
+example /root/reference/examples/linkproppred/tgn.py); this module trades the
+hook-manager indirection for a hand-fused pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..constants import PADDED_NODE_ID
+from ..core.batch import DGBatch
+from ..hooks.neighbors import recency_init, recency_query, recency_update
+from ..nn.decoder import LinkPredictor
+from ..nn.encoder.tgn import (
+    GraphAttentionEmbedding,
+    TGNMemory,
+    tgn_init_state,
+    tgn_store_messages,
+)
+
+_SENTINEL = jnp.iinfo(jnp.int32).max
+
+
+class TGNCarry(NamedTuple):
+    params: Any
+    opt_state: Any
+    mem_state: Any
+    rec_state: Any
+    rng: jnp.ndarray
+
+
+class TGNPipeline:
+    """Build once per (graph, hyperparams); step functions are pure."""
+
+    def __init__(
+        self,
+        num_nodes: int,
+        edge_dim: int,
+        memory_dim: int = 100,
+        embed_dim: int = 100,
+        time_dim: int = 100,
+        num_nbrs: int = 10,
+        lr: float = 1e-4,
+        neg_low: int = 0,
+        neg_high: int = 1,
+        dropout: float = 0.0,
+        state_row_multiple: int = 1,
+    ) -> None:
+        self.num_nodes = num_nodes
+        self.state_row_multiple = state_row_multiple
+        self.edge_dim = edge_dim
+        self.num_nbrs = num_nbrs
+        self.neg_low = neg_low
+        self.neg_high = max(neg_high, neg_low + 1)
+        self.memory = TGNMemory(
+            num_nodes=num_nodes,
+            raw_msg_dim=edge_dim,
+            memory_dim=memory_dim,
+            time_dim=time_dim,
+        )
+        self.encoder = GraphAttentionEmbedding(
+            in_channels=memory_dim,
+            out_channels=embed_dim,
+            msg_dim=edge_dim,
+            time_dim=time_dim,
+            dropout=dropout,
+        )
+        self.decoder = LinkPredictor(node_dim=embed_dim, hidden_dim=embed_dim)
+        self.opt = optax.adam(lr)
+        self.embed_dim = embed_dim
+        self.memory_dim = memory_dim
+
+    # ------------------------------------------------------------------ #
+    def init_carry(self, rng: jnp.ndarray) -> TGNCarry:
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        mem_state = tgn_init_state(
+            self.num_nodes, self.memory_dim, self.edge_dim, self.state_row_multiple
+        )
+        rec_state = recency_init(
+            self.num_nodes, self.num_nbrs, self.edge_dim, self.state_row_multiple
+        )
+        mem_params = self.memory.init(k1, mem_state, jnp.zeros(4, jnp.int32))
+        enc_params = self.encoder.init(
+            k2,
+            jnp.zeros((8, self.memory_dim)),
+            jnp.zeros(8, jnp.int32),
+            jnp.zeros(4, jnp.int32),
+            jnp.zeros(4, jnp.int32),
+            jnp.zeros(4, jnp.int32),
+            jnp.zeros((4, self.edge_dim)),
+            jnp.ones(4, bool),
+        )
+        dec_params = self.decoder.init(
+            k3, jnp.zeros((1, self.embed_dim)), jnp.zeros((1, self.embed_dim))
+        )
+        params = {"mem": mem_params, "enc": enc_params, "dec": dec_params}
+        return TGNCarry(params, self.opt.init(params), mem_state, rec_state, k4)
+
+    # ------------------------------------------------------------------ #
+    def _forward(self, params, mem_state, rec_state, batch: DGBatch, neg, neg_time):
+        """Sample neighbors, dedup, stage memory, embed, score pos/neg."""
+        B = batch.edge_src.shape[0]
+        K = self.num_nbrs
+        n = self.num_nodes
+
+        seeds = jnp.concatenate([batch.edge_src, batch.edge_dst, neg])
+        seed_t = jnp.concatenate([batch.edge_time, batch.edge_time, neg_time])
+        nbr_ids, nbr_t, nbr_x = recency_query(rec_state, seeds, seed_t, K)
+
+        # Dedup into a fixed-width local index space.
+        all_ids = jnp.concatenate([seeds, nbr_ids.reshape(-1)])
+        keyed = jnp.where((all_ids >= 0) & (all_ids < n), all_ids, _SENTINEL)
+        uniq = jnp.unique(keyed, size=all_ids.shape[0], fill_value=_SENTINEL)
+        u_valid = uniq != _SENTINEL
+        unique_nids = jnp.where(u_valid, uniq, PADDED_NODE_ID)
+        U = unique_nids.shape[0]
+        g2l = jnp.full((n + 1,), U - 1, jnp.int32)
+        g2l = g2l.at[jnp.where(u_valid, uniq, n)].set(
+            jnp.arange(U, dtype=jnp.int32), mode="drop"
+        )
+        to_local = lambda ids: g2l[jnp.where((ids >= 0) & (ids < n), ids, n)]
+
+        z_mem, last_upd = self.memory.apply(
+            params["mem"], mem_state, unique_nids, method=TGNMemory.stage
+        )
+
+        src_rep = jnp.repeat(seeds, K)
+        nbr_flat = nbr_ids.reshape(-1)
+        e_valid = (nbr_flat != PADDED_NODE_ID) & (src_rep != PADDED_NODE_ID)
+        z = self.encoder.apply(
+            params["enc"],
+            z_mem,
+            last_upd,
+            to_local(src_rep),
+            to_local(nbr_flat),
+            nbr_t.reshape(-1),
+            nbr_x.reshape(nbr_flat.shape[0], -1),
+            e_valid,
+        )
+        z_src = z[to_local(batch.edge_src)]
+        z_dst = z[to_local(batch.edge_dst)]
+        z_neg = z[to_local(neg)]
+        pos = self.decoder.apply(params["dec"], z_src, z_dst)
+        negs = self.decoder.apply(
+            params["dec"],
+            jnp.repeat(z_src, neg.shape[0] // B, axis=0) if neg.shape[0] != B else z_src,
+            z_neg,
+        )
+        return pos, negs
+
+    def _raw_msg(self, batch: DGBatch) -> jnp.ndarray:
+        if batch.edge_x is not None:
+            return batch.edge_x
+        return jnp.zeros((batch.edge_src.shape[0], 0), jnp.float32)
+
+    # ------------------------------------------------------------------ #
+    def train_step(self, carry: TGNCarry, batch: DGBatch) -> Tuple[TGNCarry, jnp.ndarray]:
+        params, opt_state, mem_state, rec_state, rng = carry
+        rng, k_neg = jax.random.split(rng)
+        B = batch.edge_src.shape[0]
+        neg = jax.random.randint(k_neg, (B,), self.neg_low, self.neg_high, dtype=jnp.int32)
+        neg_time = batch.edge_time
+
+        def loss_fn(p):
+            pos, negs = self._forward(p, mem_state, rec_state, batch, neg, neg_time)
+            m = batch.edge_valid.astype(pos.dtype)
+            denom = jnp.maximum(jnp.sum(m), 1.0)
+            l_pos = jnp.sum(optax.sigmoid_binary_cross_entropy(pos, jnp.ones_like(pos)) * m) / denom
+            l_neg = jnp.sum(optax.sigmoid_binary_cross_entropy(negs, jnp.zeros_like(negs)) * m) / denom
+            return l_pos + l_neg
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+
+        # State commit (reference order: before the optimizer step).
+        nodes = jnp.concatenate([batch.edge_src, batch.edge_dst])
+        nodes = jnp.where(
+            jnp.concatenate([batch.edge_valid, batch.edge_valid]), nodes, self.num_nodes
+        )
+        mem_state = self.memory.apply(params["mem"], mem_state, nodes, method=TGNMemory.flush)
+        mem_state = tgn_store_messages(
+            mem_state, batch.edge_src, batch.edge_dst, batch.edge_time,
+            self._raw_msg(batch), batch.edge_valid,
+        )
+        rec_state = recency_update(
+            rec_state, batch.edge_src, batch.edge_dst, batch.edge_time,
+            batch.edge_x, batch.edge_valid, directed=False,
+        )
+
+        updates, opt_state = self.opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return TGNCarry(params, opt_state, mem_state, rec_state, rng), loss
+
+    # ------------------------------------------------------------------ #
+    def forward_only(self, carry: TGNCarry, batch: DGBatch) -> jnp.ndarray:
+        """Jittable forward scoring (used by the compile-check entry point)."""
+        params = carry.params
+        B = batch.edge_src.shape[0]
+        neg = jnp.flip(batch.edge_dst)
+        pos, negs = self._forward(
+            params, carry.mem_state, carry.rec_state, batch, neg, batch.edge_time
+        )
+        return jnp.stack([pos, negs])
