@@ -66,6 +66,15 @@ def main() -> None:
 
     import jax
 
+    # Persistent compilation cache: the scanned-epoch program is large and
+    # remote compilation is slow; cache hits make driver re-runs near-instant.
+    import os
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from tgm_tpu.core.graph import DGraph
     from tgm_tpu.train import DeviceEdgeStream, TGNPipeline, jit_scan_epoch
 

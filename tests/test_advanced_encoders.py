@@ -1,0 +1,193 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tgm_tpu.constants import PADDED_NODE_ID
+from tgm_tpu.nn import CTAN, DyGFormer, NCNPredictor, RandomProjectionModule, TPNet
+from tgm_tpu.nn.encoder.ctan import ctan_memory_init, ctan_memory_update
+from tgm_tpu.nn.encoder.tpnet import rp_init_state, rp_update
+
+KEY = jax.random.PRNGKey(0)
+
+
+# ------------------------------------------------------------------ #
+# DyGFormer
+# ------------------------------------------------------------------ #
+def _dyg_inputs(B=3, K=7, node_dim=5, edge_dim=4, num_nodes=12):
+    rng = np.random.default_rng(0)
+    node_x = jnp.asarray(rng.normal(size=(num_nodes, node_dim)).astype(np.float32))
+    src = jnp.asarray(rng.integers(0, num_nodes, B), jnp.int32)
+    dst = jnp.asarray(rng.integers(0, num_nodes, B), jnp.int32)
+    t = jnp.asarray(np.sort(rng.integers(50, 100, B)), jnp.int32)
+    nbrs = rng.integers(0, num_nodes, (2 * B, K))
+    nbrs[rng.random((2 * B, K)) < 0.3] = PADDED_NODE_ID
+    nbrs = jnp.asarray(nbrs, jnp.int32)
+    nt = jnp.asarray(rng.integers(0, 50, (2 * B, K)), jnp.int32)
+    nx = jnp.asarray(rng.normal(size=(2 * B, K, edge_dim)).astype(np.float32))
+    return node_x, src, dst, t, nbrs, nt, nx
+
+
+def test_dygformer_forward():
+    m = DyGFormer(
+        node_feat_dim=5, edge_x_dim=4, time_feat_dim=8, channel_embedding_dim=16,
+        output_dim=20, patch_size=2, num_layers=2, max_input_sequence_length=8,
+        dropout=0.0,
+    )
+    args = _dyg_inputs()
+    params = m.init(KEY, *args)
+    zs, zd = m.apply(params, *args)
+    assert zs.shape == (3, 20) and zd.shape == (3, 20)
+    assert np.isfinite(np.asarray(zs)).all()
+
+
+def test_dygformer_cooccurrence_counts():
+    from tgm_tpu.nn.encoder.dygformer import NeighborCooccurrenceEncoder
+
+    enc = NeighborCooccurrenceEncoder(feat_dim=4)
+    src_nbrs = jnp.array([[1, 2, 2, PADDED_NODE_ID]])
+    dst_nbrs = jnp.array([[2, 3, PADDED_NODE_ID, PADDED_NODE_ID]])
+    params = enc.init(KEY, src_nbrs, dst_nbrs)
+    # internal count check: neighbor 2 appears twice in src list, once in dst
+    cross = np.asarray(src_nbrs[:, None, :] == dst_nbrs[:, :, None])
+    assert cross.sum(1)[0, 1] == 1  # src's "2" occurs once in dst list
+    out_s, out_d = enc.apply(params, src_nbrs, dst_nbrs)
+    assert out_s.shape == (1, 4, 4)[0:1] + (4, 4)  # (B, L, feat)
+
+
+def test_dygformer_seq_trim_and_pad():
+    # K+1 > max_len -> trim; K+1 < max_len -> pad
+    m = DyGFormer(
+        node_feat_dim=5, edge_x_dim=4, time_feat_dim=8, channel_embedding_dim=8,
+        output_dim=10, patch_size=1, num_layers=1, max_input_sequence_length=4,
+        dropout=0.0,
+    )
+    args = _dyg_inputs(K=7)
+    params = m.init(KEY, *args)
+    zs, _ = m.apply(params, *args)
+    assert zs.shape == (3, 10)
+
+
+# ------------------------------------------------------------------ #
+# TPNet random projections
+# ------------------------------------------------------------------ #
+def test_rp_update_decay_and_propagation():
+    state = rp_init_state(num_nodes=4, num_layer=2, dim=5, beginning_time=0.0,
+                          use_matrix=True, rng=KEY)
+    assert state.projections.shape == (3, 5, 5)
+    src = jnp.array([0]); dst = jnp.array([1]); t = jnp.array([10])
+    s2 = rp_update(state, src, dst, t, None, time_decay_weight=0.01)
+    assert float(s2.now_time) == 10.0
+    # layer1 row0 gets P0[dst]=e1 (weight exp(0)=1)
+    np.testing.assert_allclose(np.asarray(s2.projections[1, 0]), np.eye(5)[1], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s2.projections[1, 1]), np.eye(5)[0], atol=1e-6)
+    # base layer unchanged
+    np.testing.assert_allclose(np.asarray(s2.projections[0]), np.asarray(state.projections[0]))
+
+
+def test_rp_update_respects_valid_mask():
+    state = rp_init_state(4, 1, 5, 0.0, True, KEY)
+    src = jnp.array([0, 2]); dst = jnp.array([1, 3]); t = jnp.array([5, 5])
+    s2 = rp_update(state, src, dst, t, jnp.array([True, False]), 0.0)
+    assert np.allclose(np.asarray(s2.projections[1, 2]), 0.0)
+    assert not np.allclose(np.asarray(s2.projections[1, 0]), 0.0)
+
+
+def test_rp_module_pairwise_features():
+    rp = RandomProjectionModule(num_nodes=6, num_layer=1, time_decay_weight=0.01)
+    state = rp.init_state(KEY)
+    params = rp.init(KEY, state, jnp.array([0, 1]), jnp.array([1, 2]))
+    out = rp.apply(params, state, jnp.array([0, 1]), jnp.array([1, 2]))
+    assert out.shape == (2, rp.out_dim)
+
+
+def test_tpnet_forward():
+    rp = RandomProjectionModule(num_nodes=12, num_layer=1, time_decay_weight=0.01)
+    rp_state = rp.init_state(KEY)
+    m = TPNet(node_feat_dim=5, edge_x_dim=4, time_feat_dim=8, output_dim=16,
+              num_neighbors=7, num_layers=1, dropout=0.0, random_projections=rp)
+    node_x, src, dst, t, nbrs, nt, nx = _dyg_inputs()
+    params = m.init(KEY, node_x, src, dst, t, nbrs, nt, nx, rp_state)
+    zs, zd = m.apply(params, node_x, src, dst, t, nbrs, nt, nx, rp_state)
+    assert zs.shape == (3, 16) and zd.shape == (3, 16)
+    assert np.isfinite(np.asarray(zs)).all()
+
+
+def test_tpnet_without_rp():
+    m = TPNet(node_feat_dim=5, edge_x_dim=4, time_feat_dim=8, output_dim=16,
+              num_neighbors=7, num_layers=1, dropout=0.0)
+    node_x, src, dst, t, nbrs, nt, nx = _dyg_inputs()
+    params = m.init(KEY, node_x, src, dst, t, nbrs, nt, nx)
+    zs, _ = m.apply(params, node_x, src, dst, t, nbrs, nt, nx)
+    assert zs.shape == (3, 16)
+
+
+# ------------------------------------------------------------------ #
+# CTAN
+# ------------------------------------------------------------------ #
+def test_ctan_forward_and_memory():
+    U, E, D = 6, 10, 8
+    m = CTAN(edge_dim=4, memory_dim=D, time_dim=6, node_dim=3, num_iters=2)
+    x = jax.random.normal(KEY, (U, D + 3))
+    args = (
+        x, jnp.zeros(U, jnp.int32),
+        jnp.arange(E, dtype=jnp.int32) % U, (jnp.arange(E, dtype=jnp.int32) + 1) % U,
+        jnp.zeros(E, jnp.int32), jnp.ones((E, 4)), jnp.ones(E, bool),
+    )
+    params = m.init(KEY, *args)
+    z = m.apply(params, *args)
+    assert z.shape == (U, D)
+    assert np.abs(np.asarray(z)).max() <= 1.0  # tanh output
+
+    state = ctan_memory_init(num_nodes=6, memory_dim=D)
+    src = jnp.array([0, 0]); dst = jnp.array([1, 2]); t = jnp.array([3, 7])
+    s_emb = jnp.ones((2, D)); d_emb = 2 * jnp.ones((2, D))
+    state = ctan_memory_update(state, src, dst, t, s_emb, d_emb)
+    assert int(state.last_update[0]) == 7
+    np.testing.assert_allclose(np.asarray(state.memory[2]), 2.0)  # dst of t=7 event
+
+
+# ------------------------------------------------------------------ #
+# NCN predictor
+# ------------------------------------------------------------------ #
+def _ncn_setup(k):
+    U, E, D, B = 8, 12, 6, 4
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(U, D)).astype(np.float32))
+    es = jnp.asarray(rng.integers(0, U, E), jnp.int32)
+    ed = jnp.asarray(rng.integers(0, U, E), jnp.int32)
+    ti = jnp.asarray(rng.integers(0, U, B), jnp.int32)
+    tj = jnp.asarray(rng.integers(0, U, B), jnp.int32)
+    m = NCNPredictor(in_channels=D, hidden_dim=16, out_channels=1, k=k)
+    params = m.init(KEY, x, es, ed, ti, tj)
+    return m, params, (x, es, ed, ti, tj)
+
+
+@pytest.mark.parametrize("k", [2, 4, 8])
+def test_ncn_predictor(k):
+    m, params, args = _ncn_setup(k)
+    out = m.apply(params, *args)
+    assert out.shape == (4,)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ncn_common_neighbor_signal():
+    # Graph: 0-2, 1-2 => querying (0,1) has common neighbor 2; (0,3) has none.
+    D = 3
+    x = jnp.eye(4, D)
+    es = jnp.array([0, 1], jnp.int32)
+    ed = jnp.array([2, 2], jnp.int32)
+    m = NCNPredictor(in_channels=D, hidden_dim=8, out_channels=1, k=2)
+    params = m.init(KEY, x, es, ed, jnp.array([0]), jnp.array([1]))
+    from tgm_tpu.nn.decoder.ncnpred import _dense_adj
+
+    A = _dense_adj(es, ed, 4, None)
+    cn = np.asarray(A[0] * A[1])
+    assert cn[2] == 1.0 and cn.sum() == 1.0
+
+
+def test_ncn_invalid_k():
+    with pytest.raises(ValueError):
+        m = NCNPredictor(in_channels=4, hidden_dim=8, out_channels=1, k=3)
+        m.init(KEY, jnp.ones((4, 4)), jnp.zeros(2, jnp.int32), jnp.zeros(2, jnp.int32),
+               jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32))
