@@ -1,0 +1,113 @@
+"""ROLAND snapshot (DTDG) link prediction.
+
+Parity: /root/reference/examples/linkproppred/roland.py — two-layer GCN with
+a per-layer embedding-update mechanism carried across snapshots.
+"""
+
+from __future__ import annotations
+
+import sys
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+from examples._datasets import load_dataset
+from examples._snapshot_common import snapshot_train_loop
+from tgm_tpu.nn import ROLAND, LinkPredictor
+from tgm_tpu.util import seed_everything
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser(description="ROLAND snapshot link prediction")
+    p.add_argument("--dataset", type=str, default="synthetic")
+    p.add_argument("--seed", type=int, default=1337)
+    p.add_argument("--bsize", type=int, default=200)
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--embed-dim", type=int, default=64)
+    p.add_argument("--snapshot-ticks", type=int, default=100)
+    p.add_argument("--update", type=str, default="learnable",
+                   choices=["moving", "learnable", "gru", "mlp", "fixed"])
+    p.add_argument("--tau", type=float, default=0.5)
+    args = p.parse_args()
+    seed_everything(args.seed)
+
+    data, _, _ = load_dataset(args.dataset)
+    if data.static_node_x is None:
+        rng = np.random.default_rng(args.seed)
+        data.static_node_x = rng.normal(size=(data.num_nodes, 16)).astype(np.float32)
+    num_nodes = data.num_nodes
+    node_x = jnp.asarray(data.static_node_x)
+    train_data, _, _ = data.split()
+
+    update = None if args.update == "fixed" else args.update
+    encoder = ROLAND(
+        input_channel=node_x.shape[1], out_channel=args.embed_dim,
+        num_nodes=num_nodes, update=update, tau0=args.tau,
+    )
+    decoder = LinkPredictor(node_dim=args.embed_dim, hidden_dim=args.embed_dim)
+    opt = optax.adam(args.lr)
+
+    key = jax.random.PRNGKey(args.seed)
+    k1, k2 = jax.random.split(key)
+    e4 = jnp.zeros(4, jnp.int32)
+    params = {
+        "enc": encoder.init(k1, node_x, e4, e4),
+        "dec": decoder.init(k2, jnp.zeros((1, args.embed_dim)), jnp.zeros((1, args.embed_dim))),
+    }
+    state = {"params": params, "opt": opt.init(params), "prev_edges": jnp.asarray(1.0)}
+
+    @jax.jit
+    def snap(params, prev_embs, n_prev, sbatch):
+        n_cur = jnp.sum(sbatch.edge_valid.astype(jnp.float32))
+        z, embs = encoder.apply(
+            params["enc"], node_x, sbatch.edge_src, sbatch.edge_dst,
+            previous_embeddings=prev_embs,
+            num_current_edges=n_cur, num_previous_edges=n_prev,
+            edge_valid=sbatch.edge_valid,
+        )
+        return jax.lax.stop_gradient(z), [jax.lax.stop_gradient(e) for e in embs], n_cur
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def step(params, opt_state, z, batch):
+        def loss_fn(p):
+            safe = lambda ids: jnp.clip(ids, 0, num_nodes - 1)
+            pos = decoder.apply(p["dec"], z[safe(batch.edge_src)], z[safe(batch.edge_dst)])
+            neg = decoder.apply(p["dec"], z[safe(batch.edge_src)], z[safe(batch.neg)])
+            m = batch.edge_valid.astype(pos.dtype)
+            d = jnp.maximum(m.sum(), 1.0)
+            return (
+                jnp.sum(optax.sigmoid_binary_cross_entropy(pos, jnp.ones_like(pos)) * m)
+                + jnp.sum(optax.sigmoid_binary_cross_entropy(neg, jnp.zeros_like(neg)) * m)
+            ) / d
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def snapshot_step(rec, sbatch):
+        prev_embs, n_prev = rec
+        z, embs, n_cur = snap(state["params"], prev_embs, n_prev, sbatch)
+        return z, (embs, n_cur)
+
+    def init_recurrent():
+        z0 = jnp.zeros((num_nodes, args.embed_dim))
+        return ([z0, z0], jnp.asarray(1.0))
+
+    def train_step(z, batch):
+        state["params"], state["opt"], loss = step(state["params"], state["opt"], z, batch)
+        return loss
+
+    snapshot_train_loop(args, train_data, num_nodes, snapshot_step, init_recurrent, train_step)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,11 +1,15 @@
+from .checkpoint import CheckpointManager, restore_checkpoint, save_checkpoint
 from .epoch import jit_scan_epoch, scan_epoch
 from .stream import DeviceEdgeStream
 from .tgn_pipeline import TGNCarry, TGNPipeline
 
 __all__ = [
+    "CheckpointManager",
     "DeviceEdgeStream",
     "TGNCarry",
     "TGNPipeline",
     "jit_scan_epoch",
+    "restore_checkpoint",
+    "save_checkpoint",
     "scan_epoch",
 ]
