@@ -22,8 +22,14 @@ def load_dataset(
     num_negatives: int = 20,
     edge_dim: int = 172,
     seed: int = 0,
+    node_label_classes: int = 0,
 ) -> Tuple[DGData, Optional[np.ndarray], Optional[np.ndarray]]:
-    """Return (data, val_candidates, test_candidates)."""
+    """Return (data, val_candidates, test_candidates).
+
+    ``node_label_classes > 0`` attaches synthetic tgbn-style node-label events:
+    each labeled (node, t) carries the class-histogram of that node's next few
+    destinations (classes = dst % C), so labels are predictable from history.
+    """
     if not name.startswith("synthetic"):
         data = DGData.from_tgb(name)
         return data, None, None
@@ -42,8 +48,26 @@ def load_dataset(
     t = np.sort(rng.integers(0, n_events * 4, size=n_events))
     edge_x = rng.normal(size=(n_events, edge_dim)).astype(np.float32)
 
+    node_kwargs = {}
+    if node_label_classes > 0:
+        C = node_label_classes
+        cls = dst % C
+        # Label every ~20th edge's source with its next-5-interactions class mix.
+        label_idx = np.arange(0, n_events - 6, 20)
+        labels = np.zeros((len(label_idx), C), dtype=np.float32)
+        for row, i in enumerate(label_idx):
+            future = cls[i : i + 5]
+            np.add.at(labels[row], future, 1.0)
+        labels /= np.maximum(labels.sum(1, keepdims=True), 1)
+        node_kwargs = dict(
+            node_y_time=t[label_idx],
+            node_y_nids=src[label_idx],
+            node_y=labels,
+        )
+
     data = DGData.from_raw(
-        edge_time=t, edge_index=np.stack([src, dst], 1), edge_x=edge_x, time_delta="s"
+        edge_time=t, edge_index=np.stack([src, dst], 1), edge_x=edge_x,
+        time_delta="s", **node_kwargs,
     )
     # 70/15/15 TGB-style split bounds over time.
     t_lo, t_hi = int(t.min()), int(t.max())

@@ -165,8 +165,9 @@ class NodeAnalyticsHook(StatefulHook):
         self.state = None
 
     def _edge_hash(self, src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
-        # Deterministic mix of the pair into the bitmap index space.
-        h = src * jnp.int32(2654435761) + dst * jnp.int32(40503) + jnp.int32(2166136261)
+        # Deterministic mix of the pair into the bitmap index space (Knuth
+        # multiplicative constants expressed as wrapped int32 literals).
+        h = src * jnp.int32(-1640531527) + dst * jnp.int32(40503) + jnp.int32(-2128831035)
         return jnp.abs(h) % self._hash_size
 
     def apply(self, state: Any, batch: DGBatch) -> Tuple[Any, DGBatch]:
