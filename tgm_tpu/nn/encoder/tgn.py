@@ -295,3 +295,66 @@ class GraphAttentionEmbedding(nn.Module):
         alpha = self.drop(alpha, deterministic=deterministic)
         out = segment_sum(alpha[..., None] * v, dst, U, mask=edge_valid)  # (U, H, C)
         return out.reshape(U, self.out_channels) + self.lin_skip(x)
+
+
+class GraphAttentionEmbeddingRowwise(nn.Module):
+    """Dense per-seed attention over each seed's K recent neighbors.
+
+    The standard TGN attention formulation (query = seed memory, keys/values =
+    neighbor memory + relative-time/edge features), computed as fully dense
+    (S, K) einsums — no segment scatters, no dedup — which is the
+    speed-of-light layout on TPU (XLA scatters serialize; dense softmax is
+    pure VPU/MXU). Parameter structure matches ``GraphAttentionEmbedding``.
+
+    Used by the scanned training pipeline (``TGNPipeline(rowwise=True)``); the
+    segment-based ``GraphAttentionEmbedding`` remains the reference-faithful
+    graph-aggregation variant.
+    """
+
+    in_channels: int
+    out_channels: int
+    msg_dim: int
+    time_dim: int
+    n_heads: int = 2
+    dropout: float = 0.1
+
+    def setup(self) -> None:
+        assert self.out_channels % self.n_heads == 0
+        self.head_dim = self.out_channels // self.n_heads
+        self.time_enc = Time2Vec(time_dim=self.time_dim)
+        self.lin_query = nn.Dense(self.out_channels)
+        self.lin_key = nn.Dense(self.out_channels)
+        self.lin_value = nn.Dense(self.out_channels)
+        self.lin_edge = nn.Dense(self.out_channels, use_bias=False)
+        self.lin_skip = nn.Dense(self.out_channels)
+        self.drop = nn.Dropout(self.dropout)
+
+    def __call__(
+        self,
+        x_seed: jnp.ndarray,  # (S, in_channels) seed memory rows
+        x_nbr: jnp.ndarray,  # (S, K, in_channels) neighbor memory rows
+        seed_last_update: jnp.ndarray,  # (S,)
+        nbr_time: jnp.ndarray,  # (S, K)
+        nbr_msg: jnp.ndarray,  # (S, K, msg_dim)
+        nbr_valid: jnp.ndarray,  # (S, K) bool
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        S, K = nbr_valid.shape
+        H, C = self.n_heads, self.head_dim
+        rel_t = seed_last_update[:, None] - nbr_time
+        edge_attr = jnp.concatenate(
+            [self.time_enc(rel_t.astype(jnp.float32)), nbr_msg], axis=-1
+        )
+        e = self.lin_edge(edge_attr).reshape(S, K, H, C)
+
+        q = self.lin_query(x_seed).reshape(S, H, C)
+        k = self.lin_key(x_nbr).reshape(S, K, H, C) + e
+        v = self.lin_value(x_nbr).reshape(S, K, H, C) + e
+
+        logits = jnp.einsum("shc,skhc->skh", q, k) * (C**-0.5)
+        logits = jnp.where(nbr_valid[:, :, None], logits, -1e10)
+        alpha = jax.nn.softmax(logits, axis=1)
+        alpha = jnp.where(nbr_valid[:, :, None], alpha, 0.0)
+        alpha = self.drop(alpha, deterministic=deterministic)
+        out = jnp.einsum("skh,skhc->shc", alpha, v).reshape(S, self.out_channels)
+        return out + self.lin_skip(x_seed)

@@ -26,6 +26,7 @@ from ..hooks.neighbors import recency_init, recency_query, recency_update
 from ..nn.decoder import LinkPredictor
 from ..nn.encoder.tgn import (
     GraphAttentionEmbedding,
+    GraphAttentionEmbeddingRowwise,
     TGNMemory,
     tgn_init_state,
     tgn_store_messages,
@@ -58,9 +59,14 @@ class TGNPipeline:
         neg_high: int = 1,
         dropout: float = 0.0,
         state_row_multiple: int = 1,
+        rowwise: bool = True,
     ) -> None:
         self.num_nodes = num_nodes
         self.state_row_multiple = state_row_multiple
+        # rowwise=True uses the dense per-seed attention (no segment scatters,
+        # no dedup) — the TPU speed-of-light layout; rowwise=False keeps the
+        # reference example's dedup + segment-softmax subgraph aggregation.
+        self.rowwise = rowwise
         self.edge_dim = edge_dim
         self.num_nbrs = num_nbrs
         self.neg_low = neg_low
@@ -71,7 +77,8 @@ class TGNPipeline:
             memory_dim=memory_dim,
             time_dim=time_dim,
         )
-        self.encoder = GraphAttentionEmbedding(
+        enc_cls = GraphAttentionEmbeddingRowwise if rowwise else GraphAttentionEmbedding
+        self.encoder = enc_cls(
             in_channels=memory_dim,
             out_channels=embed_dim,
             msg_dim=edge_dim,
@@ -93,16 +100,27 @@ class TGNPipeline:
             self.num_nodes, self.num_nbrs, self.edge_dim, self.state_row_multiple
         )
         mem_params = self.memory.init(k1, mem_state, jnp.zeros(4, jnp.int32))
-        enc_params = self.encoder.init(
-            k2,
-            jnp.zeros((8, self.memory_dim)),
-            jnp.zeros(8, jnp.int32),
-            jnp.zeros(4, jnp.int32),
-            jnp.zeros(4, jnp.int32),
-            jnp.zeros(4, jnp.int32),
-            jnp.zeros((4, self.edge_dim)),
-            jnp.ones(4, bool),
-        )
+        if self.rowwise:
+            enc_params = self.encoder.init(
+                k2,
+                jnp.zeros((4, self.memory_dim)),
+                jnp.zeros((4, 3, self.memory_dim)),
+                jnp.zeros(4, jnp.int32),
+                jnp.zeros((4, 3), jnp.int32),
+                jnp.zeros((4, 3, self.edge_dim)),
+                jnp.ones((4, 3), bool),
+            )
+        else:
+            enc_params = self.encoder.init(
+                k2,
+                jnp.zeros((8, self.memory_dim)),
+                jnp.zeros(8, jnp.int32),
+                jnp.zeros(4, jnp.int32),
+                jnp.zeros(4, jnp.int32),
+                jnp.zeros(4, jnp.int32),
+                jnp.zeros((4, self.edge_dim)),
+                jnp.ones(4, bool),
+            )
         dec_params = self.decoder.init(
             k3, jnp.zeros((1, self.embed_dim)), jnp.zeros((1, self.embed_dim))
         )
@@ -111,7 +129,7 @@ class TGNPipeline:
 
     # ------------------------------------------------------------------ #
     def _forward(self, params, mem_state, rec_state, batch: DGBatch, neg, neg_time):
-        """Sample neighbors, dedup, stage memory, embed, score pos/neg."""
+        """Sample neighbors, stage memory, embed, score pos/neg."""
         B = batch.edge_src.shape[0]
         K = self.num_nbrs
         n = self.num_nodes
@@ -119,6 +137,26 @@ class TGNPipeline:
         seeds = jnp.concatenate([batch.edge_src, batch.edge_dst, neg])
         seed_t = jnp.concatenate([batch.edge_time, batch.edge_time, neg_time])
         nbr_ids, nbr_t, nbr_x = recency_query(rec_state, seeds, seed_t, K)
+
+        if self.rowwise:
+            S = seeds.shape[0]
+            rows = jnp.concatenate([seeds, nbr_ids.reshape(-1)])
+            z_mem, last_upd = self.memory.apply(
+                params["mem"], mem_state, rows, method=TGNMemory.stage
+            )
+            z = self.encoder.apply(
+                params["enc"],
+                z_mem[:S],
+                z_mem[S:].reshape(S, K, self.memory_dim),
+                last_upd[:S],
+                nbr_t,
+                nbr_x,
+                nbr_ids != PADDED_NODE_ID,
+            )
+            z_src, z_dst, z_neg = z[:B], z[B : 2 * B], z[2 * B : 3 * B]
+            pos = self.decoder.apply(params["dec"], z_src, z_dst)
+            negs = self.decoder.apply(params["dec"], z_src, z_neg)
+            return pos, negs
 
         # Dedup into a fixed-width local index space.
         all_ids = jnp.concatenate([seeds, nbr_ids.reshape(-1)])
