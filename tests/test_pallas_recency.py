@@ -1,0 +1,91 @@
+"""Pallas recency window-select kernel: exact parity with the jnp path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tgm_tpu.constants import PADDED_NODE_ID
+from tgm_tpu.hooks.neighbors import recency_init, recency_query, recency_update
+from tgm_tpu.ops.pallas.recency_select import recency_window_select
+
+
+def random_state(rng, num_nodes=20, buf=6, edge_dim=4, events=60):
+    state = recency_init(num_nodes, buf, edge_dim)
+    src = jnp.asarray(rng.integers(0, num_nodes, events), jnp.int32)
+    dst = jnp.asarray(rng.integers(0, num_nodes, events), jnp.int32)
+    t = jnp.asarray(np.sort(rng.integers(0, 500, events)), jnp.int32)
+    x = jnp.asarray(rng.normal(size=(events, edge_dim)).astype(np.float32))
+    # push in chronological chunks like real batches
+    for i in range(0, events, 15):
+        state = recency_update(state, src[i:i+15], dst[i:i+15], t[i:i+15],
+                               x[i:i+15], None, directed=False)
+    return state
+
+
+@pytest.mark.parametrize("k", [3, 6])
+def test_matches_jnp_query(k):
+    rng = np.random.default_rng(0)
+    state = random_state(rng)
+    nbr_ids, nbr_times, nbr_feats, write_pos = state
+
+    seeds = jnp.asarray(rng.integers(0, 20, 32), jnp.int32)
+    qt = jnp.asarray(rng.integers(0, 600, 32), jnp.int32)
+
+    want_ids, want_t, want_x = recency_query(state, seeds, qt, k)
+
+    rows = seeds  # all valid here
+    got_ids, got_t, got_x = recency_window_select(
+        nbr_ids[rows], nbr_times[rows], nbr_feats[rows], write_pos[rows], qt,
+        k=k, block=8, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_ids), np.asarray(want_ids))
+    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(want_t))
+    np.testing.assert_allclose(np.asarray(got_x), np.asarray(want_x), atol=1e-6)
+
+
+def test_empty_buffers():
+    state = recency_init(10, 4, 3)
+    nbr_ids, nbr_times, nbr_feats, write_pos = state
+    seeds = jnp.arange(4, dtype=jnp.int32)
+    qt = jnp.full(4, 100, jnp.int32)
+    ids, t, x = recency_window_select(
+        nbr_ids[seeds], nbr_times[seeds], nbr_feats[seeds], write_pos[seeds], qt,
+        k=3, block=4, interpret=True,
+    )
+    assert np.all(np.asarray(ids) == PADDED_NODE_ID)
+    assert np.all(np.asarray(t) == 0)
+    assert np.all(np.asarray(x) == 0)
+
+
+def test_time_boundary_strict():
+    # Event exactly at query time must be excluded (strictly-before).
+    state = recency_init(5, 4, 2)
+    state = recency_update(
+        state, jnp.array([0]), jnp.array([1]), jnp.array([10]),
+        jnp.ones((1, 2)), None, directed=True,
+    )
+    nbr_ids, nbr_times, nbr_feats, write_pos = state
+    seeds = jnp.array([0], jnp.int32)
+    for qt_val, expect in [(10, PADDED_NODE_ID), (11, 1)]:
+        ids, _, _ = recency_window_select(
+            nbr_ids[seeds], nbr_times[seeds], nbr_feats[seeds], write_pos[seeds],
+            jnp.array([qt_val], jnp.int32), k=2, block=1, interpret=True,
+        )
+        assert int(ids[0, -1]) == expect
+
+
+def test_ragged_block_padding():
+    # S not a multiple of block: padded rows must not leak into outputs.
+    rng = np.random.default_rng(1)
+    state = random_state(rng)
+    nbr_ids, nbr_times, nbr_feats, write_pos = state
+    seeds = jnp.asarray(rng.integers(0, 20, 13), jnp.int32)
+    qt = jnp.asarray(rng.integers(0, 600, 13), jnp.int32)
+    want = recency_query(state, seeds, qt, 4)
+    got = recency_window_select(
+        nbr_ids[seeds], nbr_times[seeds], nbr_feats[seeds], write_pos[seeds], qt,
+        k=4, block=8, interpret=True,
+    )
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-6)

@@ -1,0 +1,126 @@
+"""Fused recency-window selection kernel (Pallas TPU).
+
+The hot inner step of recency neighbor sampling (SURVEY.md §7.3 item 1):
+given each seed's circular buffer row — neighbor ids/times/features and the
+row's write position — select the K most recent events strictly before the
+seed's query time, oldest→newest, right-aligned, PAD-filled.
+
+The reference (and the jnp fallback in ``tgm_tpu.hooks.neighbors``) does this
+with an unroll permutation + masked argmax + windowed ``take_along_axis``
+chain — several (S, B[, D]) intermediates through HBM. This kernel fuses the
+whole selection into one pass per seed block with a gather-free formulation:
+
+  * age of slot j:       (wp - 1 - j) mod B          (0 = newest)
+  * validity:            time < query_time  and  id != PAD
+  * recency rank r_j:    #valid slots with smaller age       (B×B compare)
+  * selected iff r_j < K, output column K-1-r_j
+  * outputs = one-hot(selection)^T @ buffer row    — small MXU matmuls
+
+Grid: contiguous blocks of seeds; Pallas double-buffers the HBM→VMEM block
+DMAs. Interpret mode makes the same kernel testable on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...constants import PADDED_NODE_ID
+
+
+def _kernel(qt_ref, wp_ref, ids_ref, times_ref, feats_ref,
+            out_ids_ref, out_times_ref, out_feats_ref, *, K: int):
+    ids = ids_ref[...]  # (SB, B)
+    times = times_ref[...]  # (SB, B)
+    SB, B = ids.shape
+
+    wp = wp_ref[..., 0]  # (SB,)
+    qt = qt_ref[..., 0]  # (SB,)
+
+    slot = jax.lax.broadcasted_iota(jnp.int32, (SB, B), 1)
+    age = (wp[:, None] - 1 - slot) % B  # 0 = newest
+    valid = (times < qt[:, None]) & (ids != PADDED_NODE_ID)
+
+    # rank[j] = number of valid slots strictly more recent (smaller age).
+    more_recent = (age[:, None, :] < age[:, :, None]) & valid[:, None, :]
+    rank = jnp.sum(more_recent.astype(jnp.int32), axis=2)  # (SB, B)
+
+    selected = valid & (rank < K)
+    # Mosaic can't insert minor dims on 1-bit vectors: do the one-hot algebra
+    # in int32 (col==k as i1 is fine; the broadcasts happen on int32).
+    col = jnp.where(selected, K - 1 - rank, -1)  # output column, newest at K-1
+    kcols = jax.lax.broadcasted_iota(jnp.int32, (SB, B, K), 2)
+    onehot_i = (col[:, :, None] == kcols).astype(jnp.int32)  # (SB, B, K)
+    oh = onehot_i.astype(jnp.float32)
+
+    picked = jnp.sum(onehot_i, axis=1) > 0  # (SB, K) any writer per column
+    # Integer one-hot reduce for ids/times (float matmul would lose precision
+    # above 2^24); the MXU matmul is reserved for the feature payload.
+    sel_ids = jnp.sum(onehot_i * ids[:, :, None], axis=1)
+    sel_times = jnp.sum(onehot_i * times[:, :, None], axis=1)
+    out_ids_ref[...] = jnp.where(picked, sel_ids, PADDED_NODE_ID)
+    out_times_ref[...] = jnp.where(picked, sel_times, 0)
+
+    feats = feats_ref[...]  # (SB, B, D)
+    # Exact one-hot select on the VPU: an MXU einsum would round the copied
+    # features through bf16. K is small and static; each step is a masked
+    # (SB, B, D) reduce.
+    for kk in range(K):
+        sel = oh[:, :, kk][:, :, None]  # (SB, B, 1) of exact {0.0, 1.0}
+        out_feats_ref[:, kk, :] = jnp.sum(sel * feats, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block", "interpret"))
+def recency_window_select(
+    ids: jnp.ndarray,  # (S, B) int32 buffer rows (pre-gathered per seed)
+    times: jnp.ndarray,  # (S, B) int32
+    feats: jnp.ndarray,  # (S, B, D) f32
+    write_pos: jnp.ndarray,  # (S,) int32
+    query_times: jnp.ndarray,  # (S,) int32
+    k: int,
+    block: int = 64,
+    interpret: bool = False,
+):
+    """Fused selection of each seed's K most recent events before its time."""
+    S, B = ids.shape
+    D = feats.shape[-1]
+    if S % block != 0:
+        pad = block - S % block
+        ids = jnp.pad(ids, ((0, pad), (0, 0)), constant_values=PADDED_NODE_ID)
+        times = jnp.pad(times, ((0, pad), (0, 0)))
+        feats = jnp.pad(feats, ((0, pad), (0, 0), (0, 0)))
+        write_pos = jnp.pad(write_pos, (0, pad))
+        query_times = jnp.pad(query_times, (0, pad))
+    Sp = ids.shape[0]
+    grid = (Sp // block,)
+
+    row = lambda i: (i, 0)
+    row3 = lambda i: (i, 0, 0)
+    out = pl.pallas_call(
+        functools.partial(_kernel, K=k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, B), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, B), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, B, D), row3, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, k), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, k), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, k, D), row3, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Sp, k), jnp.int32),
+            jax.ShapeDtypeStruct((Sp, k), jnp.int32),
+            jax.ShapeDtypeStruct((Sp, k, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(query_times[:, None], write_pos[:, None], ids, times, feats)
+    out_ids, out_times, out_feats = out
+    return out_ids[:S], out_times[:S], out_feats[:S]

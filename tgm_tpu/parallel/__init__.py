@@ -6,9 +6,13 @@ from .sharding import (
     row_sharded,
     shard_leading_axis,
     tgn_carry_shardings,
+    tgn_carry_shardings_2d,
+    tp_param_shardings,
 )
 
 __all__ = [
+    "tp_param_shardings",
+    "tgn_carry_shardings_2d",
     "batch_shardings",
     "data_model_mesh",
     "initialize_distributed",

@@ -64,3 +64,34 @@ def tgn_carry_shardings(mesh: Mesh, carry: TGNCarry, axis: str = "data") -> TGNC
 def batch_shardings(mesh: Mesh, batch: Any, axis: str = "data") -> Any:
     """DP layout: edge axis of every batch array sharded over ``axis``."""
     return shard_leading_axis(mesh, batch, axis)
+
+
+def tp_param_shardings(mesh: Mesh, params: Any, axis: str = "model") -> Any:
+    """Tensor-parallel parameter layout: matrices whose output (last) dim
+    divides the ``axis`` size are column-sharded; everything else replicated.
+
+    With batch activations replicated along ``axis``, XLA partitions each
+    matmul column-wise and all-gathers activations where consumers need the
+    full feature dim — classic Megatron-style TP, derived entirely by GSPMD.
+    """
+    size = mesh.shape[axis]
+
+    def spec(x):
+        if hasattr(x, "ndim") and x.ndim >= 2 and x.shape[-1] % size == 0:
+            return NamedSharding(mesh, P(*([None] * (x.ndim - 1)), axis))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, params)
+
+
+def tgn_carry_shardings_2d(mesh: Mesh, carry: TGNCarry) -> TGNCarry:
+    """DP + TP layout on a ('data', 'model') mesh: node-state rows sharded on
+    'data', parameter matrices column-sharded on 'model', optimizer moments
+    following the params, rng replicated."""
+    return TGNCarry(
+        params=tp_param_shardings(mesh, carry.params),
+        opt_state=tp_param_shardings(mesh, carry.opt_state),
+        mem_state=shard_leading_axis(mesh, carry.mem_state, "data"),
+        rec_state=shard_leading_axis(mesh, carry.rec_state, "data"),
+        rng=NamedSharding(mesh, P()),
+    )
