@@ -182,11 +182,18 @@ class DGStorageArrayBackend(DGStorageBase):
             if directed:
                 nodes, nbrs, eids, times = src, dst, eid, t
             else:
-                nodes = np.concatenate([src, dst])
-                nbrs = np.concatenate([dst, src])
-                eids = np.concatenate([eid, eid])
-                times = np.concatenate([t, t])
-            order = np.lexsort((eids, times, nodes))
+                # Interleave the two directions in eid-major order so the
+                # stable sort's implicit tiebreak equals edge-id order (the
+                # reference emits neighbors in edge order).
+                nodes = np.stack([src, dst], axis=1).ravel()
+                nbrs = np.stack([dst, src], axis=1).ravel()
+                eids = np.repeat(eid, 2)
+                times = np.repeat(t, 2)
+            # Stable (node, time) sort; original order is the tiebreak. The
+            # native parallel radix path kicks in for large graphs.
+            from ...native import lexsort2_perm
+
+            order = lexsort2_perm(nodes, times)
             nodes, nbrs, eids, times = nodes[order], nbrs[order], eids[order], times[order]
             num_nodes = self._data.num_nodes
             row_ptr = np.searchsorted(nodes, np.arange(num_nodes + 1, dtype=np.int64))

@@ -240,7 +240,9 @@ class DGData:
         if np.all(np.diff(self.time) >= 0):
             return
         logger.warning("Timestamps are not globally sorted; reordering all events")
-        sort_idx = np.argsort(self.time, kind="stable").astype(np.int32)
+        from ..native import stable_sort_perm
+
+        sort_idx = stable_sort_perm(self.time).astype(np.int32)
         inverse = np.empty_like(sort_idx)
         inverse[sort_idx] = np.arange(len(sort_idx), dtype=np.int32)
         self.time = self.time[sort_idx]
