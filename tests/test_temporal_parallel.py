@@ -1,0 +1,86 @@
+"""Temporal-axis parallelism: exact chain mode + stale-merge consistency."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tgm_tpu.parallel.temporal import (
+    chain_epoch,
+    merge_stale_carries,
+    split_spans,
+    stale_parallel_epoch,
+)
+
+
+def test_split_spans():
+    assert split_spans(10, 3) == [(0, 4), (4, 7), (7, 10)]
+    assert split_spans(8, 4) == [(0, 2), (2, 4), (4, 6), (6, 8)]
+    assert split_spans(2, 4) == [(0, 1), (1, 2), (2, 2), (2, 2)]
+
+
+def _setup(num_batches=8, bsize=16):
+    import numpy as np
+
+    from tgm_tpu.core.graph import DGraph
+    from tgm_tpu.data.dg_data import DGData
+    from tgm_tpu.train import DeviceEdgeStream, TGNPipeline
+
+    rng = np.random.default_rng(0)
+    E = num_batches * bsize
+    data = DGData.from_raw(
+        edge_time=np.sort(rng.integers(0, 1000, E)),
+        edge_index=rng.integers(0, 32, (E, 2)),
+        edge_x=rng.normal(size=(E, 4)).astype(np.float32),
+        time_delta="s",
+    )
+    dg = DGraph(data)
+    stream = DeviceEdgeStream(dg, bsize)
+    pipe = TGNPipeline(num_nodes=32, edge_dim=4, memory_dim=8, embed_dim=8,
+                       time_dim=4, num_nbrs=3, neg_high=32)
+    return pipe, stream
+
+
+def test_chain_equals_plain_scan():
+    pipe, stream = _setup()
+    carry0 = pipe.init_carry(jax.random.PRNGKey(0))
+
+    def plain(carry):
+        def body(c, i):
+            return pipe.train_step(c, stream.batch_at(i))
+
+        return jax.lax.scan(body, carry, jnp.arange(stream.num_batches))
+
+    c_plain, l_plain = jax.jit(plain)(carry0)
+    c_chain, l_chain = jax.jit(
+        lambda c: chain_epoch(pipe.train_step, stream.batch_at, c, stream.num_batches, 4)
+    )(carry0)
+    np.testing.assert_allclose(np.asarray(l_plain), np.asarray(l_chain), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(c_plain.mem_state),
+                    jax.tree_util.tree_leaves(c_chain.mem_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
+def test_stale_parallel_and_merge():
+    pipe, stream = _setup()
+    carry0 = pipe.init_carry(jax.random.PRNGKey(0))
+    n_spans = 4
+    carries, losses = jax.jit(
+        lambda c: stale_parallel_epoch(
+            pipe.train_step, stream.batch_at, c, stream.num_batches, n_spans
+        )
+    )(carry0)
+    assert losses.shape == (n_spans, stream.num_batches // n_spans)
+    assert np.isfinite(np.asarray(losses)).all()
+
+    merged = merge_stale_carries(carries, num_nodes=32)
+    # Merged state has the single-carry structure and finite values.
+    for a, b in zip(jax.tree_util.tree_leaves(merged.mem_state),
+                    jax.tree_util.tree_leaves(carry0.mem_state)):
+        assert np.asarray(a).shape == np.asarray(b).shape
+        assert np.isfinite(np.asarray(a, dtype=np.float64)).all()
+    # Owner-wise pick: every merged last_update equals the max across spans
+    # for that node.
+    lu_all = np.asarray(carries.mem_state.last_update)
+    np.testing.assert_array_equal(
+        np.asarray(merged.mem_state.last_update), lu_all.max(axis=0)
+    )

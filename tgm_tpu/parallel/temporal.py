@@ -1,0 +1,135 @@
+"""Temporal-axis parallelism: sharding the event stream across devices.
+
+The TPU analog of sequence parallelism for temporal GNNs (SURVEY.md §5
+"long-context"): the time-sorted edge stream is split into contiguous spans,
+one per device. Carried state (TGN memory, recency buffers) makes the stream
+fundamentally sequential, so two execution modes are provided:
+
+* ``chain`` — exact: spans run in sequence, each consuming the previous
+  span's final state. No wall-clock speedup on one program, but it is the
+  correctness baseline and the memory-scaling story (each host only holds
+  its span's events).
+* ``stale`` — DistTGL-style relaxed staleness: all spans run in parallel
+  from the epoch-start state (bounded staleness = one span), then states are
+  merged **owner-wise**: each node row is taken from the span that last
+  touched it (max ``last_update`` for TGN memory, max write count for
+  recency buffers); parameters are averaged (local-SGD style). MRR impact of
+  the staleness must be quantified per dataset (reference has no counterpart
+  to compare against — this is a new capability).
+
+Both modes build on ``TGNPipeline.train_step`` and a per-span
+``DeviceEdgeStream``-style batch slicer.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..train.tgn_pipeline import TGNCarry
+
+
+def split_spans(num_batches: int, n_spans: int) -> List[Tuple[int, int]]:
+    """Contiguous [start, end) batch-index spans, balanced within ±1."""
+    base = num_batches // n_spans
+    rem = num_batches % n_spans
+    spans, start = [], 0
+    for i in range(n_spans):
+        size = base + (1 if i < rem else 0)
+        spans.append((start, start + size))
+        start += size
+    return spans
+
+
+def chain_epoch(step_fn, batch_at, carry, num_batches: int, n_spans: int):
+    """Exact sequential execution over spans (state handed off at boundaries).
+
+    Returns (final_carry, per-batch losses). Functionally identical to one
+    scan over the epoch; the span structure is the unit of placement for
+    multi-host runs (each host scans its own span).
+    """
+    losses = []
+    for start, end in split_spans(num_batches, n_spans):
+        if end <= start:
+            continue
+
+        def body(c, i):
+            return step_fn(c, batch_at(i))
+
+        carry, span_losses = jax.lax.scan(
+            body, carry, jnp.arange(start, end)
+        )
+        losses.append(span_losses)
+    return carry, jnp.concatenate(losses) if losses else jnp.zeros((0,))
+
+
+def stale_parallel_epoch(
+    step_fn,
+    batch_at,
+    carry: TGNCarry,
+    num_batches: int,
+    n_spans: int,
+):
+    """Run all spans in parallel from the same starting state (vmap over the
+    span axis; under a mesh the span axis shards across devices).
+
+    Returns (per-span final carries stacked on axis 0, losses (spans, L)).
+    Use :func:`merge_stale_carries` to collapse the span axis.
+    """
+    spans = split_spans(num_batches, n_spans)
+    span_len = max(e - s for s, e in spans)
+    # Pad every span to equal length by repeating the last index; repeated
+    # batches are harmless for throughput measurement but for training the
+    # caller should pick n_spans dividing num_batches.
+    starts = jnp.asarray([s for s, _ in spans])
+    lens = jnp.asarray([e - s for s, e in spans])
+
+    def run_span(start, length):
+        def body(c, j):
+            i = jnp.minimum(start + j, num_batches - 1)
+
+            def do(c):
+                return step_fn(c, batch_at(i))
+
+            def skip(c):
+                return c, jnp.float32(0)
+
+            return jax.lax.cond(j < length, do, skip, c)
+
+        return jax.lax.scan(body, carry, jnp.arange(span_len))
+
+    return jax.vmap(run_span)(starts, lens)
+
+
+def merge_stale_carries(carries: TGNCarry, num_nodes: int) -> TGNCarry:
+    """Collapse the span axis: owner-wise state merge + parameter average.
+
+    Each node row of the memory/recency state is taken from the span with
+    the most recent activity for that node; parameters and optimizer moments
+    are averaged across spans.
+    """
+    mem = carries.mem_state
+    # Winner span per node: max last_update (ties -> later span).
+    n_spans = mem.last_update.shape[0]
+    span_ids = jnp.arange(n_spans)[:, None]
+    key = mem.last_update * n_spans + span_ids  # later span wins ties
+    winner_mem = jnp.argmax(key, axis=0)  # (N_pad,)
+
+    def pick_rows(arr, winner):
+        # arr: (spans, N_pad, ...); winner: (N_pad,)
+        return arr[winner, jnp.arange(arr.shape[1])]
+
+    mem_merged = jax.tree_util.tree_map(lambda a: pick_rows(a, winner_mem), mem)
+
+    rec = carries.rec_state
+    write_pos = rec[3]  # (spans, N_pad)
+    key_r = write_pos * n_spans + span_ids
+    winner_rec = jnp.argmax(key_r, axis=0)
+    rec_merged = tuple(pick_rows(a, winner_rec) for a in rec)
+
+    mean = lambda a: jnp.mean(a, axis=0) if jnp.issubdtype(a.dtype, jnp.floating) else a[0]
+    params = jax.tree_util.tree_map(mean, carries.params)
+    opt_state = jax.tree_util.tree_map(mean, carries.opt_state)
+    return TGNCarry(params, opt_state, mem_merged, rec_merged, carries.rng[0])
