@@ -58,7 +58,7 @@ class TransformerEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, inputs: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        h = nn.LayerNorm()(inputs)
+        h = nn.LayerNorm(epsilon=1e-5)(inputs)
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,
             qkv_features=self.attention_dim,
@@ -66,9 +66,9 @@ class TransformerEncoder(nn.Module):
         )(h, h, deterministic=deterministic)
         out = inputs + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
 
-        h = nn.LayerNorm()(out)
+        h = nn.LayerNorm(epsilon=1e-5)(out)
         h = nn.Dense(4 * self.attention_dim)(h)
-        h = nn.Dropout(self.dropout)(nn.gelu(h), deterministic=deterministic)
+        h = nn.Dropout(self.dropout)(nn.gelu(h, approximate=False), deterministic=deterministic)
         h = nn.Dense(self.attention_dim)(h)
         return out + nn.Dropout(self.dropout)(h, deterministic=deterministic)
 

@@ -76,7 +76,12 @@ class TGAT(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         def feats(ids: jnp.ndarray) -> jnp.ndarray:
-            safe = jnp.maximum(ids, 0)
+            # Torch-style negative indexing: PADDED_NODE_ID (-1) wraps to the
+            # last row. Irrelevant when masked, but rows with zero valid
+            # neighbors softmax uniformly over these values (reference
+            # -1e10-fill behavior), so exact parity needs the same garbage.
+            n = node_x.shape[0]
+            safe = jnp.clip(jnp.where(ids < 0, ids + n, ids), 0, n - 1)
             return node_x[safe]
 
         # z[j][i]: layer-j embedding of hop-i nodes.

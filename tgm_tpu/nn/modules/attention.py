@@ -35,7 +35,7 @@ class TemporalAttention(nn.Module):
         self.W_KV = nn.Dense(self.out_dim * 2, use_bias=False)
         self.W_O = nn.Dense(self.out_dim)
         self.drop = nn.Dropout(self.dropout)
-        self.layer_norm = nn.LayerNorm()
+        self.layer_norm = nn.LayerNorm(epsilon=1e-5)
 
     def __call__(
         self,

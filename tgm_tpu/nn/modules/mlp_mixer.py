@@ -19,7 +19,7 @@ class FeedForwardNet(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         h = nn.Dense(int(self.dim_expansion_factor * self.input_dim))(x)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.input_dim)(h)
         return nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -35,13 +35,13 @@ class MLPMixer(nn.Module):
     @nn.compact
     def __call__(self, node_x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         """node_x: (B, num_tokens, num_channels)."""
-        h = nn.LayerNorm()(jnp.swapaxes(node_x, 1, 2))  # (B, C, T)
+        h = nn.LayerNorm(epsilon=1e-5)(jnp.swapaxes(node_x, 1, 2))  # (B, C, T)
         h = FeedForwardNet(self.num_tokens, self.token_dim_expansion_factor, self.dropout)(
             h, deterministic
         )
         z = node_x + jnp.swapaxes(h, 1, 2)
 
-        h = nn.LayerNorm()(z)
+        h = nn.LayerNorm(epsilon=1e-5)(z)
         h = FeedForwardNet(
             self.num_channels, self.channel_dim_expansion_factor, self.dropout
         )(h, deterministic)
