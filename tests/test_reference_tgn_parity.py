@@ -1,0 +1,171 @@
+"""TGN memory semantics parity vs the reference implementation (torch CPU).
+
+Streams random batches through the reference ``TGNMemory`` (IdentityMessage +
+LastAggregator) and our functional memory with identical weights, comparing
+staged memory, last_update, stored memory after commits, and the train→eval
+flush — the subtlest semantics in the framework (SURVEY.md §7.3 item 2).
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+def _stub_pyg_with_scatter():
+    """PyG stub whose ``scatter`` actually works (used by TGNMemory)."""
+    import tests.test_reference_parity as base
+
+    base._stub_pyg()
+
+    def scatter(src, index, dim=0, dim_size=None, reduce="sum"):
+        assert dim == 0
+        if dim_size is None:
+            dim_size = int(index.max()) + 1
+        shape = (dim_size,) + tuple(src.shape[1:])
+        out = torch.zeros(shape, dtype=src.dtype)
+        idx = index.long()
+        if src.dim() > 1:
+            idx = idx.view(-1, *([1] * (src.dim() - 1))).expand_as(src)
+        if reduce in ("max", "amax"):
+            out.scatter_reduce_(0, idx, src, reduce="amax", include_self=True)
+        elif reduce == "mean":
+            out.scatter_reduce_(0, idx, src, reduce="mean", include_self=False)
+        else:
+            out.scatter_add_(0, idx, src)
+        return out
+
+    sys.modules["torch_geometric.utils"].scatter = scatter
+
+
+@pytest.fixture(scope="module")
+def ref():
+    _stub_pyg_with_scatter()
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import tgm  # noqa: F401
+
+    return sys.modules["tgm"]
+
+
+def t2n(x):
+    return x.detach().cpu().numpy()
+
+
+def _copy_weights(ref_mem, ours, state, nids0):
+    """torch TGNMemory -> flax params (Time2Vec + GRUCell gate mapping)."""
+    import jax
+    import jax.numpy as jnp
+
+    params = ours.init(jax.random.PRNGKey(0), state, nids0)
+    p = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy as dicts
+    p["params"]["time_enc"] = {
+        "w": t2n(ref_mem.time_enc.w.weight).T,
+        "b": t2n(ref_mem.time_enc.w.bias),
+    }
+    H = ref_mem.memory_dim
+    w_ih = t2n(ref_mem.memory_updater.weight_ih)  # (3H, in) gates r,z,n
+    w_hh = t2n(ref_mem.memory_updater.weight_hh)  # (3H, H)
+    b_ih = t2n(ref_mem.memory_updater.bias_ih)
+    b_hh = t2n(ref_mem.memory_updater.bias_hh)
+    r, z, n = slice(0, H), slice(H, 2 * H), slice(2 * H, 3 * H)
+    p["params"]["gru"] = {
+        "ir": {"kernel": w_ih[r].T, "bias": b_ih[r] + b_hh[r]},
+        "iz": {"kernel": w_ih[z].T, "bias": b_ih[z] + b_hh[z]},
+        "in": {"kernel": w_ih[n].T, "bias": b_ih[n]},
+        "hr": {"kernel": w_hh[r].T},
+        "hz": {"kernel": w_hh[z].T},
+        "hn": {"kernel": w_hh[n].T, "bias": b_hh[n]},
+    }
+    return p
+
+
+def test_tgn_memory_stream_parity(ref):
+    import jax.numpy as jnp
+
+    from tgm.nn.encoder.tgn import IdentityMessage, LastAggregator, TGNMemory as RefMem
+
+    from tgm_tpu.nn.encoder.tgn import TGNMemory, tgn_store_messages
+
+    torch.manual_seed(0)
+    N, R, H, T = 12, 3, 6, 4
+    ref_mem = RefMem(
+        N, R, H, T,
+        message_module=IdentityMessage(R, H, T),
+        aggregator_module=LastAggregator(),
+    ).train()
+
+    ours = TGNMemory(num_nodes=N, raw_msg_dim=R, memory_dim=H, time_dim=T)
+    state = ours.init_state()
+    params = _copy_weights(ref_mem, ours, state, jnp.zeros(4, jnp.int32))
+
+    rng = np.random.default_rng(0)
+    t_cursor = 1
+    for step in range(6):
+        B = 5
+        src = rng.integers(0, N, B).astype(np.int64)
+        dst = rng.integers(0, N, B).astype(np.int64)
+        t = np.sort(rng.integers(t_cursor, t_cursor + 20, B)).astype(np.int64)
+        t_cursor = int(t.max()) + 1
+        raw = rng.normal(size=(B, R)).astype(np.float32)
+
+        # Query a superset of nodes (batch nodes + random extras).
+        n_id = np.unique(np.concatenate([src, dst, rng.integers(0, N, 3)]))
+
+        z_ref, lu_ref = ref_mem(torch.from_numpy(n_id))
+        z_ours, lu_ours = ours.apply(
+            params, state, jnp.asarray(n_id, jnp.int32), method=TGNMemory.stage
+        )
+        np.testing.assert_allclose(np.asarray(z_ours), t2n(z_ref), atol=3e-5,
+                                   err_msg=f"staged memory step {step}")
+        np.testing.assert_array_equal(np.asarray(lu_ours), t2n(lu_ref))
+
+        # Commit: reference train-mode update_state (flush batch nodes, then
+        # overwrite their message stores); ours mirrors.
+        ref_mem.update_state(
+            torch.from_numpy(src), torch.from_numpy(dst),
+            torch.from_numpy(t), torch.from_numpy(raw),
+        )
+        nodes = jnp.asarray(np.concatenate([src, dst]), jnp.int32)
+        state = ours.apply(params, state, nodes, method=TGNMemory.flush)
+        state = tgn_store_messages(
+            state, jnp.asarray(src, jnp.int32), jnp.asarray(dst, jnp.int32),
+            jnp.asarray(t, jnp.int32), jnp.asarray(raw),
+            jnp.ones(B, bool),
+        )
+        np.testing.assert_allclose(
+            np.asarray(state.mem[:N]), t2n(ref_mem.memory), atol=3e-5,
+            err_msg=f"stored memory step {step}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(state.last_update[:N]), t2n(ref_mem.last_update)
+        )
+
+    # Train -> eval flush.
+    ref_mem.eval()  # triggers full flush + store reset
+    state = ours.apply(params, state, method=TGNMemory.flush_all)
+    np.testing.assert_allclose(np.asarray(state.mem[:N]), t2n(ref_mem.memory), atol=3e-5)
+    np.testing.assert_array_equal(np.asarray(state.last_update[:N]), t2n(ref_mem.last_update))
+    assert not bool(np.asarray(state.s_valid).any())
+
+    # Eval-mode ordering: store then apply immediately.
+    src = np.array([0, 1], dtype=np.int64)
+    dst = np.array([2, 3], dtype=np.int64)
+    t = np.array([t_cursor, t_cursor + 1], dtype=np.int64)
+    raw = rng.normal(size=(2, 3)).astype(np.float32)
+    ref_mem.update_state(
+        torch.from_numpy(src), torch.from_numpy(dst),
+        torch.from_numpy(t), torch.from_numpy(raw),
+    )
+    state = tgn_store_messages(
+        state, jnp.asarray(src, jnp.int32), jnp.asarray(dst, jnp.int32),
+        jnp.asarray(t, jnp.int32), jnp.asarray(raw), jnp.ones(2, bool),
+    )
+    state = ours.apply(
+        params, state, jnp.asarray(np.concatenate([src, dst]), jnp.int32),
+        method=TGNMemory.flush,
+    )
+    np.testing.assert_allclose(np.asarray(state.mem[:N]), t2n(ref_mem.memory), atol=3e-5)

@@ -228,6 +228,10 @@ class DGStorageArrayBackend(DGStorageBase):
             return out_nids, out_times, out_feats
 
         end_time = slice.end_time if slice.end_time is not None else int(self._data.time[-1])
+        # The composite key packs (node, time) with base = max_time + 2; an
+        # end_time beyond the graph's last event would spill into the next
+        # node's key range, so clamp (semantically identical: "no bound").
+        end_time = min(end_time, int(key_base) - 1)
         valid_seed = seed_nodes != PADDED_NODE_ID
         safe_seed = np.where(valid_seed, seed_nodes, 0).astype(np.int64)
         lo = row_ptr[safe_seed]
