@@ -36,8 +36,24 @@ def _stub_pyg():
     for name in ("GCNConv", "ChebConv", "TransformerConv", "AntiSymmetricConv", "Linear"):
         setattr(nn, name, type(name, (), {"__init__": _Unused.__init__}))
 
-    def scatter(*a, **k):
-        raise RuntimeError("stub: scatter used at runtime")
+    def scatter(src, index, dim=0, dim_size=None, reduce="sum"):
+        # Functional replacement for torch_geometric.utils.scatter (the only
+        # PyG symbol the tested reference components use at runtime).
+        assert dim == 0
+        if dim_size is None:
+            dim_size = int(index.max()) + 1
+        shape = (dim_size,) + tuple(src.shape[1:])
+        out = torch.zeros(shape, dtype=src.dtype)
+        idx = index.long()
+        if src.dim() > 1:
+            idx = idx.view(-1, *([1] * (src.dim() - 1))).expand_as(src)
+        if reduce in ("max", "amax"):
+            out.scatter_reduce_(0, idx, src, reduce="amax", include_self=True)
+        elif reduce == "mean":
+            out.scatter_reduce_(0, idx, src, reduce="mean", include_self=False)
+        else:
+            out.scatter_add_(0, idx, src)
+        return out
 
     utils.scatter = scatter
 

@@ -15,35 +15,11 @@ import pytest
 torch = pytest.importorskip("torch")
 
 
-def _stub_pyg_with_scatter():
-    """PyG stub whose ``scatter`` actually works (used by TGNMemory)."""
-    import tests.test_reference_parity as base
-
-    base._stub_pyg()
-
-    def scatter(src, index, dim=0, dim_size=None, reduce="sum"):
-        assert dim == 0
-        if dim_size is None:
-            dim_size = int(index.max()) + 1
-        shape = (dim_size,) + tuple(src.shape[1:])
-        out = torch.zeros(shape, dtype=src.dtype)
-        idx = index.long()
-        if src.dim() > 1:
-            idx = idx.view(-1, *([1] * (src.dim() - 1))).expand_as(src)
-        if reduce in ("max", "amax"):
-            out.scatter_reduce_(0, idx, src, reduce="amax", include_self=True)
-        elif reduce == "mean":
-            out.scatter_reduce_(0, idx, src, reduce="mean", include_self=False)
-        else:
-            out.scatter_add_(0, idx, src)
-        return out
-
-    sys.modules["torch_geometric.utils"].scatter = scatter
-
-
 @pytest.fixture(scope="module")
 def ref():
-    _stub_pyg_with_scatter()
+    from tests.test_reference_parity import _stub_pyg
+
+    _stub_pyg()
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
     import tgm  # noqa: F401
