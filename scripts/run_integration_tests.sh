@@ -3,7 +3,9 @@
 # (mirrors the reference's Slurm integration jobs, locally runnable).
 set -euo pipefail
 cd "$(dirname "$0")/.."
-export JAX_PLATFORMS=${JAX_PLATFORMS:-cpu}
+# CPU tier by design: strip the ambient TPU-tunnel sitecustomize AND its
+# platform selection (the env var alone would leave an unknown backend name).
+export JAX_PLATFORMS=cpu
 export PYTHONPATH=""
 
 run() { echo "== $*"; timeout 600 python "$@" || { echo "FAILED: $*"; exit 1; }; }
