@@ -11,7 +11,6 @@ from __future__ import annotations
 import time
 from typing import Any, Callable
 
-import jax.numpy as jnp
 import numpy as np
 
 from tgm_tpu import DGDataLoader, DGraph, TimeDeltaDG

@@ -22,7 +22,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 from examples._datasets import load_dataset
 from tgm_tpu import DGDataLoader, DGraph, TimeDeltaDG
-from tgm_tpu.eval.metrics import mse
 from tgm_tpu.nn import GCN, GraphPredictor
 from tgm_tpu.util import seed_everything
 

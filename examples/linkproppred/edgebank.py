@@ -18,7 +18,7 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 from examples._datasets import load_dataset
-from tgm_tpu import DGData, DGDataLoader, DGraph
+from tgm_tpu import DGDataLoader, DGraph
 from tgm_tpu.constants import PADDED_NODE_ID
 from tgm_tpu.eval.metrics import mrr_per_edge
 from tgm_tpu.hooks import HookManager, TGBNegativeEdgeSamplerHook

@@ -8,7 +8,6 @@ over local common-neighbor structure.
 from __future__ import annotations
 
 import sys
-import time
 from functools import partial
 from pathlib import Path
 
@@ -19,7 +18,6 @@ import optax
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 from examples._linkpred_common import base_parser, run_epochs, setup_linkpred
-from tgm_tpu import DGDataLoader
 from tgm_tpu.constants import PADDED_NODE_ID
 from tgm_tpu.eval.metrics import mrr_sum_count
 from tgm_tpu.hooks import DeduplicationHook, RecencyNeighborHook, map_to_local

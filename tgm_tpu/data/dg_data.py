@@ -30,7 +30,7 @@ from ..exceptions import (
     InvalidDiscretizationError,
     InvalidNodeIDError,
 )
-from ..timedelta import TGB_SEQ_TIME_DELTAS, TGB_TIME_DELTAS, TimeDeltaDG
+from ..timedelta import TimeDeltaDG
 from ..util.logging import _get_logger, log_latency
 
 logger = _get_logger(__name__)

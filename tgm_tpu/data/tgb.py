@@ -11,7 +11,7 @@ without them (synthetic and CSV data paths don't need TGB).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Union
+from typing import Any, Union
 
 import numpy as np
 

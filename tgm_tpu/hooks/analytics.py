@@ -17,7 +17,7 @@ scalars/arrays, like the reference.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np

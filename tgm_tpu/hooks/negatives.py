@@ -39,7 +39,7 @@ from ..core.batch import DGBatch
 from ..core.graph import DGraph
 from ..util.logging import _get_logger
 from ..util.seed import fork_key
-from .base import StatefulHook, StatelessHook
+from .base import StatefulHook
 from .registry import hook
 
 logger = _get_logger(__name__)

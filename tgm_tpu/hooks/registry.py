@@ -6,7 +6,7 @@ Parity: reference ``@hook`` decorator registry
 
 from __future__ import annotations
 
-from typing import List, Type
+from typing import List
 
 _HOOK_REGISTRY: List[type] = []
 

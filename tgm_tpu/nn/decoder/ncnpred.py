@@ -20,7 +20,6 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ...ops.segment import segment_sum
 
 
 def _dense_adj(

@@ -13,7 +13,7 @@ AntiSymmetricConv (PyG semantics): x <- x + eps * tanh((W - W^T - gamma I) x
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Set, Tuple
+from typing import NamedTuple, Optional, Set
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ Both modes build on ``TGNPipeline.train_step`` and a per-span
 
 from __future__ import annotations
 
-from typing import Callable, List, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
