@@ -13,6 +13,8 @@ from .data.dg_data import DGData
 from .data.loader import DGDataLoader
 from .timedelta import TGB_SEQ_TIME_DELTAS, TGB_TIME_DELTAS, TimeDeltaDG
 
+from . import core, data, eval, hooks, native, nn, ops, parallel, train, util  # noqa: E402
+
 __version__ = "0.1.0"
 
 __all__ = [
