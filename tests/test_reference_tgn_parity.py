@@ -145,3 +145,58 @@ def test_tgn_memory_stream_parity(ref):
         method=TGNMemory.flush,
     )
     np.testing.assert_allclose(np.asarray(state.mem[:N]), t2n(ref_mem.memory), atol=3e-5)
+
+
+def test_tgn_memory_mean_aggregator_parity(ref):
+    import jax.numpy as jnp
+
+    from tgm.nn.encoder.tgn import IdentityMessage, MeanAggregator, TGNMemory as RefMem
+
+    from tgm_tpu.nn.encoder.tgn import TGNMemory
+
+    torch.manual_seed(1)
+    N, R, H, T = 10, 2, 4, 3
+    ref_mem = RefMem(
+        N, R, H, T,
+        message_module=IdentityMessage(R, H, T),
+        aggregator_module=MeanAggregator(),
+    ).train()
+
+    ours = TGNMemory(num_nodes=N, raw_msg_dim=R, memory_dim=H, time_dim=T,
+                     aggregator="mean", mean_slots=8)
+    state = ours.init_state()
+    params = _copy_weights(ref_mem, ours, state, jnp.zeros(4, jnp.int32))
+
+    rng = np.random.default_rng(1)
+    t_cursor = 1
+    for step in range(5):
+        B = 6
+        src = rng.integers(0, N, B).astype(np.int64)
+        dst = rng.integers(0, N, B).astype(np.int64)
+        t = np.sort(rng.integers(t_cursor, t_cursor + 15, B)).astype(np.int64)
+        t_cursor = int(t.max()) + 1
+        raw = rng.normal(size=(B, R)).astype(np.float32)
+        n_id = np.unique(np.concatenate([src, dst]))
+
+        z_ref, lu_ref = ref_mem(torch.from_numpy(n_id))
+        z_ours, lu_ours = ours.apply(
+            params, state, jnp.asarray(n_id, jnp.int32), method=TGNMemory.stage
+        )
+        np.testing.assert_allclose(np.asarray(z_ours), t2n(z_ref), atol=3e-5,
+                                   err_msg=f"mean staged step {step}")
+        np.testing.assert_array_equal(np.asarray(lu_ours), t2n(lu_ref))
+
+        ref_mem.update_state(
+            torch.from_numpy(src), torch.from_numpy(dst),
+            torch.from_numpy(t), torch.from_numpy(raw),
+        )
+        nodes = jnp.asarray(np.concatenate([src, dst]), jnp.int32)
+        state = ours.apply(params, state, nodes, method=TGNMemory.flush)
+        state = ours.store(
+            state, jnp.asarray(src, jnp.int32), jnp.asarray(dst, jnp.int32),
+            jnp.asarray(t, jnp.int32), jnp.asarray(raw), jnp.ones(B, bool),
+        )
+        np.testing.assert_allclose(
+            np.asarray(state.mem[:N]), t2n(ref_mem.memory), atol=3e-5,
+            err_msg=f"mean stored step {step}",
+        )

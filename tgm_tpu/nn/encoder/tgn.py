@@ -130,29 +130,186 @@ def tgn_store_messages(
     )
 
 
+class TGNMeanMemoryState(NamedTuple):
+    """Mean-aggregator state: multi-slot message ring buffers per role.
+
+    Each role keeps up to ``mean_slots`` of a node's messages from the most
+    recent batch that touched it (``*_stamp`` vs ``*_latest`` identifies that
+    batch; older entries are ignored at read time, replicating the reference's
+    per-batch store overwrite). Exact when a node has <= mean_slots messages
+    per role per batch, truncated (keep-last) otherwise.
+    """
+
+    mem: jnp.ndarray  # (N+1, memory_dim)
+    last_update: jnp.ndarray  # (N+1,)
+    s_other: jnp.ndarray  # (N+1, K)
+    s_t: jnp.ndarray  # (N+1, K)
+    s_raw: jnp.ndarray  # (N+1, K, raw_msg_dim)
+    s_stamp: jnp.ndarray  # (N+1, K) batch counter per slot (0 = empty)
+    s_wp: jnp.ndarray  # (N+1,)
+    s_latest: jnp.ndarray  # (N+1,)
+    d_other: jnp.ndarray
+    d_t: jnp.ndarray
+    d_raw: jnp.ndarray
+    d_stamp: jnp.ndarray
+    d_wp: jnp.ndarray
+    d_latest: jnp.ndarray
+    counter: jnp.ndarray  # () global batch counter
+
+
+def tgn_mean_init_state(
+    num_nodes: int, memory_dim: int, raw_msg_dim: int, mean_slots: int = 8,
+    row_multiple: int = 1,
+) -> TGNMeanMemoryState:
+    n = num_nodes + 1
+    if row_multiple > 1:
+        n = -(-n // row_multiple) * row_multiple
+    z = jnp.zeros
+    role = lambda: (
+        jnp.full((n, mean_slots), PADDED_NODE_ID, jnp.int32),
+        z((n, mean_slots), jnp.int32),
+        z((n, mean_slots, raw_msg_dim)),
+        z((n, mean_slots), jnp.int32),
+        z((n,), jnp.int32),
+        z((n,), jnp.int32),
+    )
+    s = role()
+    d = role()
+    return TGNMeanMemoryState(
+        mem=z((n, memory_dim)), last_update=z((n,), jnp.int32),
+        s_other=s[0], s_t=s[1], s_raw=s[2], s_stamp=s[3], s_wp=s[4], s_latest=s[5],
+        d_other=d[0], d_t=d[1], d_raw=d[2], d_stamp=d[3], d_wp=d[4], d_latest=d[5],
+        counter=z((), jnp.int32),
+    )
+
+
+def tgn_mean_store_messages(
+    state: TGNMeanMemoryState,
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    t: jnp.ndarray,
+    raw_msg: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> TGNMeanMemoryState:
+    """Write this batch's events into the per-role ring buffers with a fresh
+    batch stamp (keep-last-K per node; the stamp implements the reference's
+    per-batch store overwrite lazily)."""
+    n = state.mem.shape[0] - 1
+    counter = state.counter + 1
+    E = src.shape[0]
+
+    def write(owner, other, o_buf, t_buf, r_buf, st_buf, wp, latest):
+        K = o_buf.shape[1]
+        rows_in = jnp.where(valid, owner, n)
+        # Stable (node, time) order; keep the last K per node (recency logic).
+        p1 = jnp.argsort(t, stable=True)
+        p2 = jnp.argsort(rows_in[p1], stable=True)
+        perm = p1[p2]
+        s_nodes = rows_in[perm]
+        s_other = other[perm]
+        s_t = t[perm]
+        s_raw = raw_msg[perm]
+        idx = jnp.arange(E)
+        is_start = jnp.concatenate([jnp.ones((1,), bool), s_nodes[1:] != s_nodes[:-1]])
+        group_start = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, idx, -1))
+        pos = idx - group_start
+        cnt = jax.ops.segment_sum(jnp.ones_like(s_nodes), s_nodes, num_segments=n + 2)
+        cnt_elem = cnt[s_nodes]
+        keep = (pos >= cnt_elem - K) & (s_nodes < n)
+        offset = pos - jnp.maximum(cnt_elem - K, 0)
+        w_rows = jnp.where(keep, s_nodes, n)
+        w_cols = jnp.where(keep, (wp[jnp.clip(s_nodes, 0, n)] + offset) % K, 0)
+        o_buf = o_buf.at[w_rows, w_cols].set(
+            jnp.where(keep, s_other, o_buf[w_rows, w_cols]), mode="drop"
+        ).at[n].set(PADDED_NODE_ID)
+        t_buf = t_buf.at[w_rows, w_cols].set(
+            jnp.where(keep, s_t, t_buf[w_rows, w_cols]), mode="drop"
+        ).at[n].set(0)
+        r_buf = r_buf.at[w_rows, w_cols].set(
+            jnp.where(keep[:, None], s_raw, r_buf[w_rows, w_cols]), mode="drop"
+        ).at[n].set(0.0)
+        st_buf = st_buf.at[w_rows, w_cols].set(
+            jnp.where(keep, counter, st_buf[w_rows, w_cols]), mode="drop"
+        ).at[n].set(0)
+        bump = jax.ops.segment_sum(keep.astype(jnp.int32), w_rows, num_segments=n + 2)[: n + 1]
+        wp = ((wp + bump) % K).at[n].set(0)
+        touched = bump > 0
+        latest = jnp.where(touched, counter, latest).at[n].set(0)
+        return o_buf, t_buf, r_buf, st_buf, wp, latest
+
+    s = write(src, dst, state.s_other, state.s_t, state.s_raw, state.s_stamp,
+              state.s_wp, state.s_latest)
+    d = write(dst, src, state.d_other, state.d_t, state.d_raw, state.d_stamp,
+              state.d_wp, state.d_latest)
+    return state._replace(
+        s_other=s[0], s_t=s[1], s_raw=s[2], s_stamp=s[3], s_wp=s[4], s_latest=s[5],
+        d_other=d[0], d_t=d[1], d_raw=d[2], d_stamp=d[3], d_wp=d[4], d_latest=d[5],
+        counter=counter,
+    )
+
+
 class TGNMemory(nn.Module):
-    """Learnable part of the TGN memory: Time2Vec + GRU message update."""
+    """Learnable part of the TGN memory: Time2Vec + GRU message update.
+
+    ``aggregator='last'`` (default, exact single-slot stores) or ``'mean'``
+    (multi-slot stores averaging the most recent batch's messages per node —
+    exact up to ``mean_slots`` messages per node per role per batch).
+    """
 
     num_nodes: int
     raw_msg_dim: int
     memory_dim: int
     time_dim: int
     aggregator: str = "last"
+    mean_slots: int = 8
 
     # EncoderModule protocol (checked by HookManager.validate_requirement).
     requires: Set[str] = frozenset({"unique_nids", "global_to_local"})
 
     def setup(self) -> None:
-        if self.aggregator != "last":
-            raise NotImplementedError(
-                "Only the (default) LastAggregator semantics are implemented; "
-                "mean aggregation needs multi-slot stores."
-            )
+        if self.aggregator not in ("last", "mean"):
+            raise ValueError(f"Unknown aggregator {self.aggregator!r}")
         self.time_enc = Time2Vec(time_dim=self.time_dim)
         self.gru = nn.GRUCell(features=self.memory_dim)
 
+    def _staged_mean(self, state: TGNMeanMemoryState, nids: jnp.ndarray):
+        """Mean over the latest batch's stored messages per node (both roles)."""
+        n = state.mem.shape[0] - 1
+        rows = jnp.where((nids >= 0) & (nids < n), nids, n)
+
+        def role(other, t, raw, stamp, latest):
+            o = jnp.clip(other[rows], 0, n)  # (S, K)
+            tt = t[rows]
+            alive = (stamp[rows] == latest[rows][:, None]) & (latest[rows] > 0)[:, None]
+            alive &= other[rows] != PADDED_NODE_ID
+            dt = tt - state.last_update[rows][:, None]
+            enc = self.time_enc(dt.astype(jnp.float32))  # (S, K, T)
+            msg = jnp.concatenate(
+                [
+                    jnp.broadcast_to(
+                        state.mem[rows][:, None, :], o.shape + (self.memory_dim,)
+                    ),
+                    state.mem[o],
+                    raw[rows],
+                    enc,
+                ],
+                axis=-1,
+            )  # (S, K, M)
+            w = alive.astype(msg.dtype)
+            return (msg * w[..., None]).sum(1), w.sum(1), jnp.where(alive, tt, 0).max(1)
+
+        sum_s, cnt_s, tmax_s = role(state.s_other, state.s_t, state.s_raw,
+                                    state.s_stamp, state.s_latest)
+        sum_d, cnt_d, tmax_d = role(state.d_other, state.d_t, state.d_raw,
+                                    state.d_stamp, state.d_latest)
+        total = cnt_s + cnt_d
+        aggr = (sum_s + sum_d) / jnp.maximum(total, 1.0)[:, None]
+        new_mem, _ = self.gru(state.mem[rows], aggr)
+        new_last = jnp.maximum(tmax_s, tmax_d).astype(jnp.int32)
+        return new_mem, new_last
+
     def _staged(
-        self, state: TGNMemoryState, nids: jnp.ndarray
+        self, state, nids: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Compute updated (memory, last_update) rows for ``nids`` from pending messages.
 
@@ -162,6 +319,8 @@ class TGNMemory(nn.Module):
         row (zero message when no pending events), last_update = max message
         time (0 if none).
         """
+        if self.aggregator == "mean":
+            return self._staged_mean(state, nids)
         n = state.mem.shape[0] - 1
         rows = jnp.where((nids >= 0) & (nids < n), nids, n)
 
@@ -208,9 +367,15 @@ class TGNMemory(nn.Module):
         last = state.last_update.at[rows].set(new_last, mode="drop").at[n].set(0)
         return state._replace(mem=mem, last_update=last)
 
-    def flush_all(self, state: TGNMemoryState) -> TGNMemoryState:
+    def flush_all(self, state):
         """Train→eval transition (tgn.py:245-251): flush every node, clear stores."""
         state = self.flush(state, jnp.arange(self.num_nodes))
+        if self.aggregator == "mean":
+            # A zero 'latest' stamp marks every slot stale (= store reset).
+            return state._replace(
+                s_latest=jnp.zeros_like(state.s_latest),
+                d_latest=jnp.zeros_like(state.d_latest),
+            )
         rows = state.mem.shape[0]  # may exceed num_nodes+1 when mesh-padded
         return state._replace(
             s_other=jnp.full((rows,), PADDED_NODE_ID, jnp.int32),
@@ -226,8 +391,21 @@ class TGNMemory(nn.Module):
     def __call__(self, state: TGNMemoryState, nids: jnp.ndarray):
         return self.stage(state, nids, training=True)
 
-    def init_state(self) -> TGNMemoryState:
-        return tgn_init_state(self.num_nodes, self.memory_dim, self.raw_msg_dim)
+    def init_state(self, row_multiple: int = 1):
+        if self.aggregator == "mean":
+            return tgn_mean_init_state(
+                self.num_nodes, self.memory_dim, self.raw_msg_dim,
+                self.mean_slots, row_multiple,
+            )
+        return tgn_init_state(
+            self.num_nodes, self.memory_dim, self.raw_msg_dim, row_multiple
+        )
+
+    def store(self, state, src, dst, t, raw_msg, valid):
+        """Aggregator-dispatched message-store write (pure, param-free)."""
+        if self.aggregator == "mean":
+            return tgn_mean_store_messages(state, src, dst, t, raw_msg, valid)
+        return tgn_store_messages(state, src, dst, t, raw_msg, valid)
 
 
 class GraphAttentionEmbedding(nn.Module):
