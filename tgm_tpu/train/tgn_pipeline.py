@@ -125,10 +125,7 @@ class TGNPipeline:
             k3, jnp.zeros((1, self.embed_dim)), jnp.zeros((1, self.embed_dim))
         )
         params = {"mem": mem_params, "enc": enc_params, "dec": dec_params}
-        from jax.flatten_util import ravel_pytree
-
-        flat_params, _ = ravel_pytree(params)
-        return TGNCarry(params, self.opt.init(flat_params), mem_state, rec_state, k4)
+        return TGNCarry(params, self.opt.init(params), mem_state, rec_state, k4)
 
     # ------------------------------------------------------------------ #
     def _forward(self, params, mem_state, rec_state, batch: DGBatch, neg, neg_time):
@@ -240,15 +237,10 @@ class TGNPipeline:
             batch.edge_x, batch.edge_valid, directed=False,
         )
 
-        # Flat optimizer step: adam over one fused vector instead of ~30
-        # param leaves — the per-leaf op chain is pure latency in the scan
-        # body on TPU.
-        from jax.flatten_util import ravel_pytree
-
-        flat_grads, _ = ravel_pytree(grads)
-        flat_params, unravel = ravel_pytree(params)
-        updates, opt_state = self.opt.update(flat_grads, opt_state)
-        params = unravel(flat_params + updates)
+        # Per-leaf adam; a fused flat-vector variant measured ~3% slower on
+        # v5e (the ravel/unravel copies outweigh the op-count savings).
+        updates, opt_state = self.opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
         return TGNCarry(params, opt_state, mem_state, rec_state, rng), loss
 
     # ------------------------------------------------------------------ #
