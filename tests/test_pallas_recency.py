@@ -35,10 +35,8 @@ def test_matches_jnp_query(k):
     want_ids, want_t, want_x = recency_query(state, seeds, qt, k)
 
     rows = seeds  # all valid here
-    B, D = nbr_ids.shape[1], nbr_feats.shape[1] // nbr_ids.shape[1]
     got_ids, got_t, got_x = recency_window_select(
-        nbr_ids[rows], nbr_times[rows],
-        nbr_feats[rows].reshape(len(rows), B, D), write_pos[rows], qt,
+        nbr_ids[rows], nbr_times[rows], nbr_feats[rows], write_pos[rows], qt,
         k=k, block=8, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(got_ids), np.asarray(want_ids))
@@ -52,8 +50,7 @@ def test_empty_buffers():
     seeds = jnp.arange(4, dtype=jnp.int32)
     qt = jnp.full(4, 100, jnp.int32)
     ids, t, x = recency_window_select(
-        nbr_ids[seeds], nbr_times[seeds],
-        nbr_feats[seeds].reshape(len(seeds), 4, 3), write_pos[seeds], qt,
+        nbr_ids[seeds], nbr_times[seeds], nbr_feats[seeds], write_pos[seeds], qt,
         k=3, block=4, interpret=True,
     )
     assert np.all(np.asarray(ids) == PADDED_NODE_ID)
@@ -72,8 +69,7 @@ def test_time_boundary_strict():
     seeds = jnp.array([0], jnp.int32)
     for qt_val, expect in [(10, PADDED_NODE_ID), (11, 1)]:
         ids, _, _ = recency_window_select(
-            nbr_ids[seeds], nbr_times[seeds],
-            nbr_feats[seeds].reshape(1, 4, 2), write_pos[seeds],
+            nbr_ids[seeds], nbr_times[seeds], nbr_feats[seeds], write_pos[seeds],
             jnp.array([qt_val], jnp.int32), k=2, block=1, interpret=True,
         )
         assert int(ids[0, -1]) == expect
@@ -87,10 +83,8 @@ def test_ragged_block_padding():
     seeds = jnp.asarray(rng.integers(0, 20, 13), jnp.int32)
     qt = jnp.asarray(rng.integers(0, 600, 13), jnp.int32)
     want = recency_query(state, seeds, qt, 4)
-    B, D = nbr_ids.shape[1], nbr_feats.shape[1] // nbr_ids.shape[1]
     got = recency_window_select(
-        nbr_ids[seeds], nbr_times[seeds],
-        nbr_feats[seeds].reshape(len(seeds), B, D), write_pos[seeds], qt,
+        nbr_ids[seeds], nbr_times[seeds], nbr_feats[seeds], write_pos[seeds], qt,
         k=4, block=8, interpret=True,
     )
     for g, w in zip(got, want):

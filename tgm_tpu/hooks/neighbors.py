@@ -59,14 +59,10 @@ def recency_init(
     n = num_nodes + 1
     if row_multiple > 1:
         n = -(-n // row_multiple) * row_multiple
-    # Features are stored flattened as (n, B*D): a 2-D carry admits only the
-    # row-major layout, preventing XLA from alternating 3-D layouts between
-    # the gather (query) and scatter (update) sides — which otherwise costs a
-    # full-buffer transpose copy every scan iteration.
     return (
         jnp.full((n, buf_size), PADDED_NODE_ID, dtype=jnp.int32),
         jnp.zeros((n, buf_size), dtype=jnp.int32),
-        jnp.zeros((n, buf_size * edge_dim), dtype=jnp.float32),
+        jnp.zeros((n, buf_size, edge_dim), dtype=jnp.float32),
         jnp.zeros((n,), dtype=jnp.int32),
     )
 
@@ -102,8 +98,6 @@ def recency_query(
     nbr_ids, nbr_times, nbr_feats, write_pos = state
     N1, B = nbr_ids.shape
     num_nodes = N1 - 1
-    D = nbr_feats.shape[-1] // B if B else 0 // B if B else 0
-    S = seeds.shape[0]
 
     seed_ok = (seeds >= 0) & (seeds < num_nodes)
     rows = jnp.where(seed_ok, seeds, num_nodes)  # dump row for invalid seeds
@@ -112,7 +106,7 @@ def recency_query(
         from ..ops.pallas.recency_select import recency_window_select
 
         return recency_window_select(
-            nbr_ids[rows], nbr_times[rows], nbr_feats[rows].reshape(S, B, D),
+            nbr_ids[rows], nbr_times[rows], nbr_feats[rows],
             write_pos[rows], seed_times, k=k,
         )
 
@@ -142,9 +136,7 @@ def recency_query(
 
     out_nbrs = jnp.where(valid, jnp.take_along_axis(buf_ids, safe, axis=1), PADDED_NODE_ID)
     out_times = jnp.where(valid, jnp.take_along_axis(buf_times, safe, axis=1), 0)
-    feats = jnp.take_along_axis(
-        nbr_feats[rows].reshape(S, B, D), safe[:, :, None], axis=1
-    )
+    feats = jnp.take_along_axis(nbr_feats[rows], safe[:, :, None], axis=1)
     out_feats = jnp.where(valid[:, :, None], feats, 0.0)
     return out_nbrs, out_times, out_feats
 
@@ -167,7 +159,7 @@ def recency_update(
     nbr_ids, nbr_times, nbr_feats, write_pos = state
     N1, B = nbr_ids.shape
     num_nodes = N1 - 1
-    D = nbr_feats.shape[-1] // B if B else 0
+    D = nbr_feats.shape[-1]
 
     if feats is None:
         feats = jnp.zeros((src.shape[0], D), dtype=jnp.float32)
@@ -211,9 +203,7 @@ def recency_update(
     cols = jnp.where(keep, write_idx, 0)
     nbr_ids = nbr_ids.at[rows, cols].set(s_nbrs, mode="drop")
     nbr_times = nbr_times.at[rows, cols].set(s_t.astype(jnp.int32), mode="drop")
-    # Flattened feature columns: event row -> slots [col*D, (col+1)*D).
-    fcols = cols[:, None] * D + jnp.arange(D)[None, :]
-    nbr_feats = nbr_feats.at[rows[:, None], fcols].set(s_f, mode="drop")
+    nbr_feats = nbr_feats.at[rows, cols].set(s_f, mode="drop")
 
     bump = jax.ops.segment_sum(keep.astype(jnp.int32), s_nodes, num_segments=N1)
     write_pos = write_pos + bump
