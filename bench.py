@@ -62,6 +62,7 @@ def main() -> None:
     p.add_argument("--smoke", action="store_true", help="tiny shapes, fast check")
     p.add_argument("--bsize", type=int, default=200)
     p.add_argument("--epochs", type=int, default=2, help="timed epochs after warmup")
+    p.add_argument("--model", type=str, default="tgn", choices=["tgn", "tgat"])
     args = p.parse_args()
 
     import jax
@@ -87,17 +88,38 @@ def main() -> None:
     dg = DGraph(data)
     stream = DeviceEdgeStream(dg, args.bsize)
 
-    pipe = TGNPipeline(
-        num_nodes=num_nodes,
-        edge_dim=edge_dim,
-        memory_dim=100,
-        embed_dim=100,
-        time_dim=100,
-        num_nbrs=10,
-        lr=1e-4,
-        neg_low=int(dg.edge_dst.min()),
-        neg_high=int(dg.edge_dst.max()),
-    )
+    if args.model == "tgat":
+        import jax.numpy as jnp
+        import numpy as _np
+
+        from tgm_tpu.train import TGATPipeline
+
+        node_x = jnp.asarray(
+            _np.random.default_rng(0).normal(size=(num_nodes, 1)).astype(_np.float32)
+        )
+        pipe = TGATPipeline(
+            num_nodes=num_nodes,
+            edge_dim=edge_dim,
+            node_x=node_x,
+            num_nbrs=(10, 10),
+            time_dim=100,
+            embed_dim=100,
+            lr=1e-4,
+            neg_low=int(dg.edge_dst.min()),
+            neg_high=int(dg.edge_dst.max()),
+        )
+    else:
+        pipe = TGNPipeline(
+            num_nodes=num_nodes,
+            edge_dim=edge_dim,
+            memory_dim=100,
+            embed_dim=100,
+            time_dim=100,
+            num_nbrs=10,
+            lr=1e-4,
+            neg_low=int(dg.edge_dst.min()),
+            neg_high=int(dg.edge_dst.max()),
+        )
     carry = pipe.init_carry(jax.random.PRNGKey(0))
     epoch = jit_scan_epoch(pipe.train_step, stream.batch_at, stream.num_batches)
 
@@ -118,7 +140,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "tgn_train_edges_per_sec_tgbl_wiki_shape",
+                "metric": f"{args.model}_train_edges_per_sec_tgbl_wiki_shape",
                 "value": round(edges_per_sec, 1),
                 "unit": "edges/s",
                 "vs_baseline": round(edges_per_sec / BASELINE_EDGES_PER_SEC, 3),

@@ -84,3 +84,34 @@ def test_stale_parallel_and_merge():
     np.testing.assert_array_equal(
         np.asarray(merged.mem_state.last_update), lu_all.max(axis=0)
     )
+
+
+def test_tgat_pipeline_scan_learns():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tgm_tpu.core.graph import DGraph
+    from tgm_tpu.data.dg_data import DGData
+    from tgm_tpu.train import DeviceEdgeStream, TGATPipeline, jit_scan_epoch
+
+    rng = np.random.default_rng(0)
+    E, N = 256, 24
+    data = DGData.from_raw(
+        edge_time=np.sort(rng.integers(0, 500, E)),
+        edge_index=rng.integers(0, N, (E, 2)),
+        edge_x=rng.normal(size=(E, 4)).astype(np.float32),
+        time_delta="s",
+    )
+    dg = DGraph(data)
+    stream = DeviceEdgeStream(dg, 32)
+    node_x = jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32))
+    pipe = TGATPipeline(num_nodes=N, edge_dim=4, node_x=node_x, num_nbrs=(4, 3),
+                        time_dim=8, embed_dim=16, lr=1e-3, neg_high=N)
+    carry = pipe.init_carry(jax.random.PRNGKey(0))
+    epoch = jit_scan_epoch(pipe.train_step, stream.batch_at, stream.num_batches)
+    carry, l1 = epoch(carry)
+    carry, l2 = epoch(carry)
+    carry, l3 = epoch(carry)
+    assert np.isfinite(np.asarray(l3)).all()
+    assert float(np.asarray(l3).mean()) < float(np.asarray(l1).mean())

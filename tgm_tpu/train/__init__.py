@@ -1,11 +1,14 @@
 from .checkpoint import CheckpointManager, restore_checkpoint, save_checkpoint
 from .epoch import jit_scan_epoch, scan_epoch
 from .stream import DeviceEdgeStream
+from .tgat_pipeline import TGATCarry, TGATPipeline
 from .tgn_pipeline import TGNCarry, TGNPipeline
 
 __all__ = [
     "CheckpointManager",
     "DeviceEdgeStream",
+    "TGATCarry",
+    "TGATPipeline",
     "TGNCarry",
     "TGNPipeline",
     "jit_scan_epoch",

@@ -1,0 +1,126 @@
+"""Self-contained TGAT training pipeline for scanned execution.
+
+TGAT's scan body is stateless apart from the recency buffers and PRNG key:
+random negatives → multi-hop recency query → temporal attention encoder →
+BCE → adam, as one pure ``train_step(carry, batch)``; semantics follow
+examples/linkproppred/tgat.py (which mirrors the reference example).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.batch import DGBatch
+from ..hooks.neighbors import recency_init, recency_query, recency_update
+from ..nn.decoder import LinkPredictor
+from ..nn.encoder.tgat import TGAT
+
+
+class TGATCarry(NamedTuple):
+    params: Any
+    opt_state: Any
+    rec_state: Any
+    rng: jnp.ndarray
+
+
+class TGATPipeline:
+    def __init__(
+        self,
+        num_nodes: int,
+        edge_dim: int,
+        node_x: jnp.ndarray,
+        num_nbrs: Sequence[int] = (10, 10),
+        time_dim: int = 100,
+        embed_dim: int = 100,
+        n_heads: int = 2,
+        lr: float = 1e-4,
+        neg_low: int = 0,
+        neg_high: int = 1,
+        state_row_multiple: int = 1,
+    ) -> None:
+        self.num_nodes = num_nodes
+        self.edge_dim = edge_dim
+        self.node_x = node_x
+        self.num_nbrs = list(num_nbrs)
+        self.neg_low = neg_low
+        self.neg_high = max(neg_high, neg_low + 1)
+        self.state_row_multiple = state_row_multiple
+        self.encoder = TGAT(
+            node_dim=node_x.shape[1],
+            edge_dim=edge_dim,
+            time_dim=time_dim,
+            embed_dim=embed_dim,
+            num_layers=len(self.num_nbrs),
+            n_heads=n_heads,
+            dropout=0.0,
+        )
+        self.decoder = LinkPredictor(node_dim=embed_dim, hidden_dim=embed_dim)
+        self.opt = optax.adam(lr)
+        self.embed_dim = embed_dim
+
+    def _hops(self, rec_state, seeds, seed_t):
+        """Multi-hop recency expansion (hop i+1 seeds = hop i neighbors)."""
+        hop_seeds, hop_times = [seeds], [seed_t]
+        hop_nbrs, hop_nbr_t, hop_nbr_x = [], [], []
+        for hop, k in enumerate(self.num_nbrs):
+            if hop > 0:
+                seeds = hop_nbrs[hop - 1].reshape(-1)
+                seed_t = hop_nbr_t[hop - 1].reshape(-1)
+                hop_seeds.append(seeds)
+                hop_times.append(seed_t)
+            nbrs, nts, nxs = recency_query(rec_state, seeds, seed_t, k)
+            hop_nbrs.append(nbrs)
+            hop_nbr_t.append(nts)
+            hop_nbr_x.append(nxs)
+        # TGAT argument order: (seed_nids, seed_times, nbr_nids, nbr_edge_x,
+        # nbr_edge_time).
+        return hop_seeds, hop_times, hop_nbrs, hop_nbr_x, hop_nbr_t
+
+    def init_carry(self, rng: jnp.ndarray) -> TGATCarry:
+        k1, k2, k3 = jax.random.split(rng, 3)
+        rec_state = recency_init(
+            self.num_nodes, max(self.num_nbrs), self.edge_dim, self.state_row_multiple
+        )
+        B0 = 4
+        seeds = jnp.zeros(3 * B0, jnp.int32)
+        st = jnp.zeros(3 * B0, jnp.int32)
+        hops = self._hops(rec_state, seeds, st)
+        enc_params = self.encoder.init(k1, self.node_x, *hops)
+        dec_params = self.decoder.init(
+            k2, jnp.zeros((1, self.embed_dim)), jnp.zeros((1, self.embed_dim))
+        )
+        params = {"enc": enc_params, "dec": dec_params}
+        return TGATCarry(params, self.opt.init(params), rec_state, k3)
+
+    def train_step(self, carry: TGATCarry, batch: DGBatch) -> Tuple[TGATCarry, jnp.ndarray]:
+        params, opt_state, rec_state, rng = carry
+        rng, k_neg = jax.random.split(rng)
+        B = batch.edge_src.shape[0]
+        neg = jax.random.randint(k_neg, (B,), self.neg_low, self.neg_high, dtype=jnp.int32)
+        seeds = jnp.concatenate([batch.edge_src, batch.edge_dst, neg])
+        seed_t = jnp.concatenate([batch.edge_time] * 3)
+        hops = self._hops(rec_state, seeds, seed_t)
+
+        def loss_fn(p):
+            z = self.encoder.apply(p["enc"], self.node_x, *hops)
+            pos = self.decoder.apply(p["dec"], z[:B], z[B : 2 * B])
+            negs = self.decoder.apply(p["dec"], z[:B], z[2 * B : 3 * B])
+            m = batch.edge_valid.astype(pos.dtype)
+            d = jnp.maximum(m.sum(), 1.0)
+            return (
+                jnp.sum(optax.sigmoid_binary_cross_entropy(pos, jnp.ones_like(pos)) * m)
+                + jnp.sum(optax.sigmoid_binary_cross_entropy(negs, jnp.zeros_like(negs)) * m)
+            ) / d
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        rec_state = recency_update(
+            rec_state, batch.edge_src, batch.edge_dst, batch.edge_time,
+            batch.edge_x, batch.edge_valid, directed=False,
+        )
+        updates, opt_state = self.opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return TGATCarry(params, opt_state, rec_state, rng), loss
