@@ -54,7 +54,45 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--embed-dim", type=int, default=100)
     p.add_argument("--memory-dim", type=int, default=100)
     p.add_argument("--log-file-path", type=str, default=None)
+    p.add_argument(
+        "--fast", action="store_true",
+        help="train via the fully-scanned TGNPipeline (one XLA program per "
+        "epoch, dense rowwise attention) instead of the hook-manager path",
+    )
     return p.parse_args()
+
+
+def run_fast(args) -> None:
+    """Scanned-epoch training (the bench.py path) on this example's data."""
+    import numpy as np
+
+    from examples._datasets import load_dataset
+    from tgm_tpu import DGraph
+    from tgm_tpu.train import DeviceEdgeStream, TGNPipeline, jit_scan_epoch
+
+    seed_everything(args.seed)
+    data, _, _ = load_dataset(args.dataset)
+    train_data, _, _ = data.split()
+    dg = DGraph(train_data)
+    stream = DeviceEdgeStream(dg, args.bsize)
+    pipe = TGNPipeline(
+        num_nodes=data.num_nodes, edge_dim=dg.edge_x_dim or 0,
+        memory_dim=args.memory_dim, embed_dim=args.embed_dim,
+        time_dim=args.time_dim, num_nbrs=args.n_nbrs[0], lr=args.lr,
+        neg_low=int(dg.edge_dst.min()), neg_high=int(dg.edge_dst.max()),
+    )
+    carry = pipe.init_carry(jax.random.PRNGKey(args.seed))
+    epoch = jit_scan_epoch(pipe.train_step, stream.batch_at, stream.num_batches)
+    n_edges = dg.num_edge_events
+    for e in range(args.epochs):
+        t0 = time.perf_counter()
+        carry, losses = epoch(carry)
+        jax.block_until_ready(losses)
+        dt = time.perf_counter() - t0
+        print(
+            f"epoch={e} loss={float(np.asarray(losses).mean()):.4f} "
+            f"train_edges/s={n_edges / dt:.0f}"
+        )
 
 
 def bce_with_logits(logits, target, mask):
@@ -83,6 +121,9 @@ def build_local_edges(batch, num_nodes):
 def main() -> None:
     args = parse_args()
     enable_logging(log_file_path=args.log_file_path)
+    if args.fast:
+        run_fast(args)
+        return
     seed_everything(args.seed)
 
     data, val_cands, test_cands = load_dataset(args.dataset)
