@@ -20,76 +20,10 @@ torch = pytest.importorskip("torch")
 # for everything exercised here)
 # --------------------------------------------------------------------- #
 def _stub_pyg():
-    if "torch_geometric" in sys.modules:
-        return
-    pyg = types.ModuleType("torch_geometric")
-    nn = types.ModuleType("torch_geometric.nn")
-    utils = types.ModuleType("torch_geometric.utils")
-    inits = types.ModuleType("torch_geometric.nn.inits")
-    models = types.ModuleType("torch_geometric.nn.models")
-    models_tgn = types.ModuleType("torch_geometric.nn.models.tgn")
+    """Delegates to tools.refbridge (functional TransformerConv + scatter)."""
+    from tools.refbridge import stub_pyg
 
-    class _Unused:
-        def __init__(self, *a, **k):
-            raise RuntimeError("stub: torch_geometric layer used at runtime")
-
-    for name in ("GCNConv", "ChebConv", "TransformerConv", "AntiSymmetricConv", "Linear"):
-        setattr(nn, name, type(name, (), {"__init__": _Unused.__init__}))
-
-    def scatter(src, index, dim=0, dim_size=None, reduce="sum"):
-        # Functional replacement for torch_geometric.utils.scatter (the only
-        # PyG symbol the tested reference components use at runtime).
-        assert dim == 0
-        if dim_size is None:
-            dim_size = int(index.max()) + 1
-        shape = (dim_size,) + tuple(src.shape[1:])
-        out = torch.zeros(shape, dtype=src.dtype)
-        idx = index.long()
-        if src.dim() > 1:
-            idx = idx.view(-1, *([1] * (src.dim() - 1))).expand_as(src)
-        if reduce in ("max", "amax"):
-            out.scatter_reduce_(0, idx, src, reduce="amax", include_self=True)
-        elif reduce == "mean":
-            out.scatter_reduce_(0, idx, src, reduce="mean", include_self=False)
-        else:
-            out.scatter_add_(0, idx, src)
-        return out
-
-    utils.scatter = scatter
-
-    def glorot(x):
-        if x is not None:
-            torch.nn.init.xavier_uniform_(x)
-
-    def zeros(x):
-        if x is not None:
-            torch.nn.init.zeros_(x)
-
-    def ones(x):
-        if x is not None:
-            torch.nn.init.ones_(x)
-
-    inits.glorot, inits.zeros, inits.ones = glorot, zeros, ones
-
-    class TimeEncoder(torch.nn.Module):
-        def __init__(self, out_channels):
-            super().__init__()
-            self.out_channels = out_channels
-            self.lin = torch.nn.Linear(1, out_channels)
-
-        def forward(self, t):
-            return self.lin(t.view(-1, 1)).cos()
-
-    models_tgn.TimeEncoder = TimeEncoder
-
-    pyg.nn = nn
-    pyg.utils = utils
-    sys.modules["torch_geometric"] = pyg
-    sys.modules["torch_geometric.nn"] = nn
-    sys.modules["torch_geometric.utils"] = utils
-    sys.modules["torch_geometric.nn.inits"] = inits
-    sys.modules["torch_geometric.nn.models"] = models
-    sys.modules["torch_geometric.nn.models.tgn"] = models_tgn
+    stub_pyg()
 
 
 @pytest.fixture(scope="module")

@@ -1,0 +1,277 @@
+"""Bridge for driving the torch reference library (/root/reference) in-process.
+
+The reference depends on ``torch_geometric`` and ``tgb``, neither of which is
+installed in this image. This module installs a minimal functional stub of the
+PyG surface the reference actually exercises at runtime — most importantly a
+faithful ``TransformerConv`` (semantics of torch_geometric.nn.TransformerConv
+as used by the reference's GraphAttentionEmbedding,
+/root/reference/tgm/nn/encoder/tgn.py:14-40) — so that reference models can be
+trained end-to-end on CPU for parity and baseline measurements.
+
+Also provides torch->flax weight-copy helpers shared by the parity tests and
+the end-to-end training-parity harness (tools/parity_harness.py).
+
+This file contains no code derived from torch_geometric or the reference; the
+TransformerConv math follows the published TransformerConv formulation
+(Shi et al., "Masked Label Prediction", 2021) which our JAX
+GraphAttentionEmbedding (tgm_tpu/nn/encoder/tgn.py:411-475) implements too.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import types
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+REFERENCE_PATH = "/root/reference"
+
+
+# --------------------------------------------------------------------------- #
+# Functional PyG-surface layers
+# --------------------------------------------------------------------------- #
+def _segment_softmax(logits: torch.Tensor, index: torch.Tensor, num_segments: int):
+    """Softmax over groups given by ``index`` (per trailing-dim column)."""
+    neg_inf = torch.full(
+        (num_segments,) + logits.shape[1:], float("-inf"), dtype=logits.dtype
+    )
+    idx = index.view(-1, *([1] * (logits.dim() - 1))).expand_as(logits)
+    seg_max = neg_inf.scatter_reduce(0, idx, logits, reduce="amax", include_self=True)
+    shifted = logits - seg_max.gather(0, idx)
+    exp = shifted.exp()
+    denom = torch.zeros_like(neg_inf).scatter_add_(0, idx, exp)
+    return exp / denom.gather(0, idx).clamp_min(1e-38)
+
+
+class TransformerConv(torch.nn.Module):
+    """Graph transformer layer matching torch_geometric.nn.TransformerConv.
+
+    Messages flow edge_index[0] -> edge_index[1]; queries come from the target
+    node, keys/values from the source node plus a learned edge projection;
+    attention is a per-target softmax; heads are concatenated and a root
+    (skip) linear of the target's input is added.
+    """
+
+    def __init__(
+        self,
+        in_channels: int,
+        out_channels: int,
+        heads: int = 1,
+        dropout: float = 0.0,
+        edge_dim: int | None = None,
+        bias: bool = True,
+        root_weight: bool = True,
+        concat: bool = True,
+    ) -> None:
+        super().__init__()
+        assert concat and root_weight, "stub supports the reference's usage only"
+        self.in_channels = in_channels
+        self.out_channels = out_channels  # per-head width, as in PyG
+        self.heads = heads
+        self.dropout = dropout
+        H, C = heads, out_channels
+        self.lin_key = torch.nn.Linear(in_channels, H * C)
+        self.lin_query = torch.nn.Linear(in_channels, H * C)
+        self.lin_value = torch.nn.Linear(in_channels, H * C)
+        self.lin_edge = (
+            torch.nn.Linear(edge_dim, H * C, bias=False) if edge_dim else None
+        )
+        self.lin_skip = torch.nn.Linear(in_channels, H * C, bias=bias)
+
+    def forward(
+        self,
+        x: torch.Tensor,
+        edge_index: torch.Tensor,
+        edge_attr: torch.Tensor | None = None,
+    ) -> torch.Tensor:
+        N = x.size(0)
+        H, C = self.heads, self.out_channels
+        src, dst = edge_index[0], edge_index[1]
+
+        q = self.lin_query(x).view(N, H, C)[dst]
+        k = self.lin_key(x).view(N, H, C)[src]
+        v = self.lin_value(x).view(N, H, C)[src]
+        if self.lin_edge is not None:
+            e = self.lin_edge(edge_attr).view(-1, H, C)
+            k = k + e
+            v = v + e
+
+        alpha = (q * k).sum(-1) / math.sqrt(C)  # (E, H)
+        alpha = _segment_softmax(alpha, dst, N)
+        alpha = F.dropout(alpha, p=self.dropout, training=self.training)
+
+        out = torch.zeros(N, H, C, dtype=x.dtype)
+        out.scatter_add_(
+            0, dst.view(-1, 1, 1).expand(-1, H, C), v * alpha.unsqueeze(-1)
+        )
+        return out.view(N, H * C) + self.lin_skip(x)
+
+
+# --------------------------------------------------------------------------- #
+# torch_geometric stub installation
+# --------------------------------------------------------------------------- #
+class _Unused:
+    """Placeholder for PyG layers the tested reference paths never execute."""
+
+    def __init__(self, *a, **k):
+        raise RuntimeError(
+            f"pyg stub: {type(self).__name__} constructed but not implemented "
+            "functionally; extend tools/refbridge.py"
+        )
+
+
+def pyg_scatter(src, index, dim=0, dim_size=None, reduce="sum"):
+    """Functional torch_geometric.utils.scatter replacement."""
+    assert dim == 0
+    if dim_size is None:
+        dim_size = int(index.max()) + 1
+    shape = (dim_size,) + tuple(src.shape[1:])
+    out = torch.zeros(shape, dtype=src.dtype)
+    idx = index.long()
+    if src.dim() > 1:
+        idx = idx.view(-1, *([1] * (src.dim() - 1))).expand_as(src)
+    if reduce in ("max", "amax"):
+        out.scatter_reduce_(0, idx, src, reduce="amax", include_self=True)
+    elif reduce == "mean":
+        out.scatter_reduce_(0, idx, src, reduce="mean", include_self=False)
+    else:
+        out.scatter_add_(0, idx, src)
+    return out
+
+
+def stub_pyg() -> None:
+    """Install the torch_geometric stub into sys.modules (idempotent)."""
+    if "torch_geometric" in sys.modules:
+        return
+    pyg = types.ModuleType("torch_geometric")
+    nn = types.ModuleType("torch_geometric.nn")
+    utils = types.ModuleType("torch_geometric.utils")
+    inits = types.ModuleType("torch_geometric.nn.inits")
+    models = types.ModuleType("torch_geometric.nn.models")
+    models_tgn = types.ModuleType("torch_geometric.nn.models.tgn")
+
+    for name in ("GCNConv", "ChebConv", "AntiSymmetricConv", "Linear"):
+        setattr(nn, name, type(name, (_Unused,), {}))
+    nn.TransformerConv = TransformerConv
+    utils.scatter = pyg_scatter
+
+    def glorot(x):
+        if x is not None:
+            torch.nn.init.xavier_uniform_(x)
+
+    def zeros(x):
+        if x is not None:
+            torch.nn.init.zeros_(x)
+
+    def ones(x):
+        if x is not None:
+            torch.nn.init.ones_(x)
+
+    inits.glorot, inits.zeros, inits.ones = glorot, zeros, ones
+
+    class TimeEncoder(torch.nn.Module):
+        def __init__(self, out_channels):
+            super().__init__()
+            self.out_channels = out_channels
+            self.lin = torch.nn.Linear(1, out_channels)
+
+        def forward(self, t):
+            return self.lin(t.view(-1, 1)).cos()
+
+    models_tgn.TimeEncoder = TimeEncoder
+
+    pyg.nn = nn
+    pyg.utils = utils
+    sys.modules["torch_geometric"] = pyg
+    sys.modules["torch_geometric.nn"] = nn
+    sys.modules["torch_geometric.utils"] = utils
+    sys.modules["torch_geometric.nn.inits"] = inits
+    sys.modules["torch_geometric.nn.models"] = models
+    sys.modules["torch_geometric.nn.models.tgn"] = models_tgn
+
+
+def import_reference():
+    """Install stubs, put /root/reference on sys.path, import and return tgm."""
+    stub_pyg()
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    import tgm  # noqa: F401
+
+    return sys.modules["tgm"]
+
+
+# --------------------------------------------------------------------------- #
+# torch -> flax weight copying
+# --------------------------------------------------------------------------- #
+def t2n(x) -> np.ndarray:
+    return x.detach().cpu().numpy()
+
+
+def dense_params(lin: torch.nn.Linear) -> dict:
+    out = {"kernel": t2n(lin.weight).T}
+    if lin.bias is not None:
+        out["bias"] = t2n(lin.bias)
+    return out
+
+
+def time2vec_params(ref_time_enc) -> dict:
+    """Reference Time2Vec (tgm/nn/modules/time_encoding.py:6-24) -> ours."""
+    return {"w": t2n(ref_time_enc.w.weight).T, "b": t2n(ref_time_enc.w.bias)}
+
+
+def gru_params(cell: torch.nn.GRUCell) -> dict:
+    """torch GRUCell -> flax nn.GRUCell param dict (gate mapping r,z,n)."""
+    H = cell.hidden_size
+    w_ih, w_hh = t2n(cell.weight_ih), t2n(cell.weight_hh)
+    b_ih, b_hh = t2n(cell.bias_ih), t2n(cell.bias_hh)
+    r, z, n = slice(0, H), slice(H, 2 * H), slice(2 * H, 3 * H)
+    return {
+        "ir": {"kernel": w_ih[r].T, "bias": b_ih[r] + b_hh[r]},
+        "iz": {"kernel": w_ih[z].T, "bias": b_ih[z] + b_hh[z]},
+        "in": {"kernel": w_ih[n].T, "bias": b_ih[n]},
+        "hr": {"kernel": w_hh[r].T},
+        "hz": {"kernel": w_hh[z].T},
+        "hn": {"kernel": w_hh[n].T, "bias": b_hh[n]},
+    }
+
+
+def tgn_memory_params(ref_mem) -> dict:
+    """Reference TGNMemory -> our TGNMemory flax params."""
+    return {
+        "params": {
+            "time_enc": time2vec_params(ref_mem.time_enc),
+            "gru": gru_params(ref_mem.memory_updater),
+        }
+    }
+
+
+def graph_attn_params(ref_enc) -> dict:
+    """Reference GraphAttentionEmbedding (around TransformerConv) -> ours.
+
+    Works for both our segment-based GraphAttentionEmbedding and the rowwise
+    variant (identical parameter structure).
+    """
+    conv = ref_enc.conv
+    return {
+        "params": {
+            "time_enc": time2vec_params(ref_enc.time_enc),
+            "lin_query": dense_params(conv.lin_query),
+            "lin_key": dense_params(conv.lin_key),
+            "lin_value": dense_params(conv.lin_value),
+            "lin_edge": dense_params(conv.lin_edge),
+            "lin_skip": dense_params(conv.lin_skip),
+        }
+    }
+
+
+def link_predictor_params(ref_dec) -> dict:
+    """Reference LinkPredictor (2-layer MLP over concat) -> ours."""
+    linears = [m for m in ref_dec.model if isinstance(m, torch.nn.Linear)]
+    return {
+        "params": {
+            "mlp": {f"Dense_{i}": dense_params(lin) for i, lin in enumerate(linears)}
+        }
+    }
