@@ -95,7 +95,14 @@ def test_tgb_negatives_from_arrays(dg):
     np.testing.assert_array_equal(np.asarray(b1.neg_batch_list), cands[:4])
     b2 = h(dg, materialize(dg.slice_events(4, 8)))
     np.testing.assert_array_equal(np.asarray(b2.neg_batch_list), cands[4:])
+    # ``neg`` is the unique candidate set (reference tgb_sampler.py:113),
+    # sorted ascending, padded with PADDED_NODE_ID to static capacity B*Q.
     assert b2.neg.shape == (4 * Q,)
+    got = np.asarray(b2.neg)
+    expect = np.unique(cands[4:])
+    np.testing.assert_array_equal(got[: len(expect)], expect)
+    assert np.all(got[len(expect) :] == PADDED_NODE_ID)
+    assert b2.neg_time.shape == (4 * Q,)
 
 
 # ------------------------------------------------------------------ #

@@ -42,19 +42,11 @@ def _copy_weights(ref_mem, ours, state, nids0):
         "w": t2n(ref_mem.time_enc.w.weight).T,
         "b": t2n(ref_mem.time_enc.w.bias),
     }
-    H = ref_mem.memory_dim
-    w_ih = t2n(ref_mem.memory_updater.weight_ih)  # (3H, in) gates r,z,n
-    w_hh = t2n(ref_mem.memory_updater.weight_hh)  # (3H, H)
-    b_ih = t2n(ref_mem.memory_updater.bias_ih)
-    b_hh = t2n(ref_mem.memory_updater.bias_hh)
-    r, z, n = slice(0, H), slice(H, 2 * H), slice(2 * H, 3 * H)
     p["params"]["gru"] = {
-        "ir": {"kernel": w_ih[r].T, "bias": b_ih[r] + b_hh[r]},
-        "iz": {"kernel": w_ih[z].T, "bias": b_ih[z] + b_hh[z]},
-        "in": {"kernel": w_ih[n].T, "bias": b_ih[n]},
-        "hr": {"kernel": w_hh[r].T},
-        "hz": {"kernel": w_hh[z].T},
-        "hn": {"kernel": w_hh[n].T, "bias": b_hh[n]},
+        "wi": t2n(ref_mem.memory_updater.weight_ih).T,
+        "bi": t2n(ref_mem.memory_updater.bias_ih),
+        "wh": t2n(ref_mem.memory_updater.weight_hh).T,
+        "bh": t2n(ref_mem.memory_updater.bias_hh),
     }
     return p
 

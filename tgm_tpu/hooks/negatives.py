@@ -79,6 +79,11 @@ class RandomNegativeEdgeSamplerHook(StatefulHook):
         n = batch.edge_dst.shape[0]
         size = max(1, round(self.neg_ratio * n))
         neg = jax.random.randint(sub, (size,), self.low, self.high, dtype=jnp.int32)
+        if batch.edge_valid is not None:
+            # Padded rows must not inject live seeds: a real node id on an
+            # invalid row would add its neighbors to the batch subgraph and
+            # perturb aggregation for valid nodes.
+            neg = jnp.where(batch.edge_valid[:size], neg, PADDED_NODE_ID)
         self.add_batch_attribute(batch, "neg", neg)
         self.add_batch_attribute(batch, "neg_time", batch.edge_time[:size])
         if batch.edge_valid is not None:
@@ -265,13 +270,25 @@ class _TGBEvalNegativesBase(StatefulHook):
         else:
             n_valid = jnp.asarray(B, jnp.int32)
         neg_valid = rows != PADDED_NODE_ID
+        # Reference semantics (tgb_sampler.py:113-129): ``neg`` is the *unique*
+        # candidate set — uniqueness matters downstream because duplicate seeds
+        # would double edges in the batch subgraph and shift segment-softmax
+        # attention weights. Padded to static capacity B*Q with PADDED_NODE_ID
+        # (sorted ascending, padding at the end, as torch.unique emits).
         flat = rows.reshape(-1)
+        sentinel = jnp.iinfo(jnp.int32).max
+        keyed = jnp.where(flat == PADDED_NODE_ID, sentinel, flat)
+        uniq = jnp.unique(keyed, size=flat.shape[0], fill_value=sentinel)
+        neg = jnp.where(uniq == sentinel, PADDED_NODE_ID, uniq)
         t_lo = jnp.min(jnp.where(batch.edge_valid, batch.edge_time, jnp.iinfo(jnp.int32).max)) if batch.edge_valid is not None else jnp.min(batch.edge_time)
         t_hi = jnp.max(jnp.where(batch.edge_valid, batch.edge_time, 0)) if batch.edge_valid is not None else jnp.max(batch.edge_time)
+        # Fake (negative) link times: deterministic draw inside the batch's
+        # time range, mirroring the reference's seeded generator heuristic.
         neg_time = jax.random.randint(
-            jax.random.PRNGKey(0), (flat.shape[0],), t_lo, t_hi + 1, dtype=jnp.int32
+            jax.random.PRNGKey(0), (neg.shape[0],), t_lo, t_hi + 1, dtype=jnp.int32
         )
-        self.add_batch_attribute(batch, "neg", flat)
+        neg_time = jnp.where(neg != PADDED_NODE_ID, neg_time, 0)
+        self.add_batch_attribute(batch, "neg", neg)
         self.add_batch_attribute(batch, "neg_batch_list", rows)
         self.add_batch_attribute(batch, "neg_valid", neg_valid)
         self.add_batch_attribute(batch, "neg_time", neg_time)

@@ -35,6 +35,7 @@ from flax import linen as nn
 
 from ...constants import PADDED_NODE_ID
 from ...ops.segment import segment_max, segment_softmax, segment_sum
+from ..modules.gru import TorchGRUCell
 from ..modules.time_encoding import Time2Vec
 
 
@@ -270,7 +271,9 @@ class TGNMemory(nn.Module):
         if self.aggregator not in ("last", "mean"):
             raise ValueError(f"Unknown aggregator {self.aggregator!r}")
         self.time_enc = Time2Vec(time_dim=self.time_dim)
-        self.gru = nn.GRUCell(features=self.memory_dim)
+        # Torch-layout GRU (separate input/hidden biases): required for exact
+        # Adam-trajectory parity with the reference (see modules/gru.py).
+        self.gru = TorchGRUCell(features=self.memory_dim)
 
     def _staged_mean(self, state: TGNMeanMemoryState, nids: jnp.ndarray):
         """Mean over the latest batch's stored messages per node (both roles)."""

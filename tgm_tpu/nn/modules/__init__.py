@@ -11,6 +11,7 @@ from .graph_conv import ChebConv, GCNConv
 from .mlp_mixer import FeedForwardNet, MLPMixer
 from .poptrack import PopTrackPredictor
 from .t_comem import tCoMemPredictor
+from .gru import TorchGRUCell
 from .time_encoding import Time2Vec
 
 __all__ = [
@@ -28,4 +29,5 @@ __all__ = [
     "SumEmbdPooling",
     "TemporalAttention",
     "Time2Vec",
+    "TorchGRUCell",
 ]

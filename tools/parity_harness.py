@@ -1,0 +1,709 @@
+"""End-to-end TGN training-parity harness vs the torch reference.
+
+Runs the reference library's full TGN link-prediction pipeline
+(/root/reference/examples/linkproppred/tgn.py:57-254 — loader, hook DAG with
+recency sampling + dedup, staged TGN memory, TransformerConv embedding,
+LinkPredictor, BCE + Adam, eval-mode memory commit ordering) on torch CPU via
+the PyG-surface stubs in tools/refbridge.py, and the same pipeline in tgm_tpu
+(hook manager + segment-softmax GraphAttentionEmbedding) on jax CPU, on an
+IDENTICAL synthetic event stream with:
+
+* identical initial weights (torch modules initialized first, copied into the
+  flax param trees via tools/refbridge helpers, time encoder TIED between
+  memory and encoder exactly as the reference example shares
+  ``memory.time_enc`` with the embedding);
+* identical injected negatives — training negatives and eval candidate lists
+  are precomputed with one numpy RNG and served to both sides through custom
+  injection hooks (so neither side's internal RNG matters);
+* dropout disabled on both sides (torch and jax dropout masks cannot match).
+
+It then compares the per-batch loss trajectory over multiple epochs and the
+val/test MRR (identical rank formula on both sides' raw scores). Agreement
+within a small tolerance is the evidence for BASELINE.md's north star
+("TGN at reference MRR") that per-module allclose cannot provide: it proves
+the *composition* — hook ordering, staging-vs-commit ordering, negative
+semantics, last-batch padding — matches the reference end to end.
+
+Run ``python tools/parity_harness.py`` to produce PARITY_r02.json; the pytest
+wrapper (tests/test_training_parity.py) asserts the tolerance band on a
+smaller config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import sys
+import time
+from pathlib import Path
+from typing import Dict, List
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+@dataclasses.dataclass
+class ParityConfig:
+    n_nodes: int = 250
+    n_edges: int = 4000
+    edge_dim: int = 8
+    bsize: int = 150
+    epochs: int = 2
+    num_nbrs: int = 10
+    n_cands: int = 8  # Q: eval negative candidates per edge
+    memory_dim: int = 32
+    time_dim: int = 16
+    embed_dim: int = 32
+    lr: float = 1e-4
+    seed: int = 0
+
+
+# --------------------------------------------------------------------------- #
+# Shared synthetic stream + precomputed negatives
+# --------------------------------------------------------------------------- #
+def make_splits(cfg: ParityConfig) -> Dict[str, Dict[str, np.ndarray]]:
+    """tgbl-wiki-shaped stream split 70/15/15 by event index (both sides get
+    the same explicit per-split arrays, so split semantics can't diverge)."""
+    rng = np.random.default_rng(cfg.seed)
+    pop = rng.zipf(1.4, size=cfg.n_nodes).astype(np.float64)
+    pop /= pop.sum()
+    src = rng.choice(cfg.n_nodes, size=cfg.n_edges, p=pop).astype(np.int64)
+    dst = rng.choice(cfg.n_nodes, size=cfg.n_edges, p=pop).astype(np.int64)
+    dst = np.where(dst == src, (dst + 1) % cfg.n_nodes, dst)
+    t = np.sort(rng.integers(0, 200_000, size=cfg.n_edges)).astype(np.int64)
+    x = rng.normal(size=(cfg.n_edges, cfg.edge_dim)).astype(np.float32)
+
+    e1 = int(cfg.n_edges * 0.7)
+    e2 = int(cfg.n_edges * 0.85)
+    out = {}
+    for name, sl in (("train", slice(0, e1)), ("val", slice(e1, e2)),
+                     ("test", slice(e2, cfg.n_edges))):
+        out[name] = {"src": src[sl], "dst": dst[sl], "t": t[sl], "x": x[sl]}
+    return out
+
+
+def precompute_negatives(cfg: ParityConfig, splits) -> Dict[str, list]:
+    """One numpy RNG decides every negative both sides will ever see."""
+    rng = np.random.default_rng(cfg.seed + 1)
+    lo = int(splits["train"]["dst"].min())
+    hi = int(splits["train"]["dst"].max())  # reference recipe: randint(low, high)
+
+    def nb(n):  # number of batches
+        return math.ceil(n / cfg.bsize)
+
+    train_negs = [
+        rng.integers(lo, hi, size=cfg.bsize).astype(np.int64)
+        for _ in range(nb(len(splits["train"]["src"])))
+    ]
+
+    def eval_sets(sp):
+        sets = []
+        E = len(sp["src"])
+        for b in range(nb(E)):
+            s, e = b * cfg.bsize, min((b + 1) * cfg.bsize, E)
+            cands = rng.integers(lo, hi + 1, size=(e - s, cfg.n_cands)).astype(np.int64)
+            uniq = np.unique(cands)
+            t_lo, t_hi = int(sp["t"][s:e].min()), int(sp["t"][s:e].max())
+            neg_time = rng.integers(t_lo, t_hi + 1, size=len(uniq)).astype(np.int64)
+            sets.append({"cands": cands, "uniq": uniq, "neg_time": neg_time})
+        return sets
+
+    return {"train": train_negs, "val": eval_sets(splits["val"]),
+            "test": eval_sets(splits["test"])}
+
+
+def reciprocal_ranks(pos: np.ndarray, negs: np.ndarray) -> np.ndarray:
+    """TGB tie rule (same as tgm_tpu.eval.metrics.mrr_per_edge), numpy."""
+    gt = (negs > pos[:, None]).sum(1)
+    ge = (negs >= pos[:, None]).sum(1)
+    return 1.0 / (0.5 * (gt + ge) + 1.0)
+
+
+# --------------------------------------------------------------------------- #
+# Reference (torch) side
+# --------------------------------------------------------------------------- #
+def run_reference(cfg: ParityConfig, splits, negs) -> Dict:
+    import torch
+
+    from tools.refbridge import import_reference
+
+    tgm = import_reference()
+    from tgm import DGraph
+    from tgm.data import DGData, DGDataLoader
+    from tgm.hooks import DeduplicationHook, HookManager, RecencyNeighborHook
+    from tgm.nn import LinkPredictor, TGNMemory
+    from tgm.nn.encoder.tgn import (
+        GraphAttentionEmbedding,
+        IdentityMessage,
+        LastAggregator,
+    )
+
+    torch.manual_seed(cfg.seed)
+
+    def dg_of(sp):
+        data = DGData.from_raw(
+            edge_time=torch.from_numpy(sp["t"]),
+            edge_index=torch.from_numpy(
+                np.stack([sp["src"], sp["dst"]], 1).astype(np.int64)
+            ),
+            edge_x=torch.from_numpy(sp["x"]),
+            time_delta="s",
+        )
+        return DGraph(data, device="cpu")
+
+    train_dg, val_dg, test_dg = dg_of(splits["train"]), dg_of(splits["val"]), dg_of(splits["test"])
+
+    class InjectTrainNeg:
+        """Serves the precomputed training negatives (reference hook protocol)."""
+
+        has_state = True
+        requires = frozenset({"edge_time"})
+        produces = frozenset({"neg", "neg_time"})
+
+        def __init__(self, neg_list):
+            self.neg_list = neg_list
+            self.i = 0
+
+        def __call__(self, dg, batch):
+            neg = self.neg_list[self.i][: len(batch.edge_src)]
+            self.i += 1
+            batch.neg = torch.from_numpy(neg).to(torch.int64)
+            batch.neg_time = batch.edge_time.clone()
+            return batch
+
+        def reset_state(self):
+            self.i = 0
+
+    class InjectEvalNeg:
+        """Serves precomputed candidate lists with reference TGB-hook semantics
+        (neg = unique candidates, injected neg_time per unique candidate)."""
+
+        has_state = True
+        requires = frozenset({"edge_time"})
+        produces = frozenset({"neg", "neg_batch_list", "neg_time"})
+
+        def __init__(self, sets):
+            self.sets = sets
+            self.i = 0
+
+        def __call__(self, dg, batch):
+            s = self.sets[self.i]
+            self.i += 1
+            batch.neg = torch.from_numpy(s["uniq"]).to(torch.int64)
+            batch.neg_time = torch.from_numpy(s["neg_time"]).to(torch.int64)
+            batch.neg_batch_list = [
+                torch.from_numpy(row).to(torch.int64) for row in s["cands"]
+            ]
+            return batch
+
+        def reset_state(self):
+            self.i = 0
+
+    hm = HookManager(keys=["train", "val", "test"])
+    tr_hook = InjectTrainNeg(negs["train"])
+    va_hook = InjectEvalNeg(negs["val"])
+    te_hook = InjectEvalNeg(negs["test"])
+    hm.register("train", tr_hook)
+    hm.register("val", va_hook)
+    hm.register("test", te_hook)
+    hm.register_shared(
+        RecencyNeighborHook(
+            num_nbrs=[cfg.num_nbrs],
+            num_nodes=cfg.n_nodes,
+            seed_nodes_keys=["edge_src", "edge_dst", "neg"],
+            seed_times_keys=["edge_time", "edge_time", "neg_time"],
+        )
+    )
+    hm.register_shared(DeduplicationHook(seed_nodes_keys=["neg", "nbr_nids"]))
+
+    memory = TGNMemory(
+        cfg.n_nodes, cfg.edge_dim, cfg.memory_dim, cfg.time_dim,
+        message_module=IdentityMessage(cfg.edge_dim, cfg.memory_dim, cfg.time_dim),
+        aggregator_module=LastAggregator(),
+    )
+    encoder = GraphAttentionEmbedding(
+        in_channels=cfg.memory_dim, out_channels=cfg.embed_dim,
+        msg_dim=cfg.edge_dim, time_enc=memory.time_enc,
+    )
+    encoder.conv.dropout = 0.0  # parity: dropout masks cannot match across frameworks
+    decoder = LinkPredictor(node_dim=cfg.embed_dim, hidden_dim=cfg.embed_dim)
+    params = list(
+        dict.fromkeys(
+            list(memory.parameters()) + list(encoder.parameters()) + list(decoder.parameters())
+        )
+    )
+    opt = torch.optim.Adam(params, lr=cfg.lr)
+
+    # Snapshot the INITIAL weights for the jax side before training mutates them.
+    import copy
+
+    init_modules = {
+        "memory": copy.deepcopy(memory),
+        "encoder": copy.deepcopy(encoder),
+        "decoder": copy.deepcopy(decoder),
+    }
+
+    PAD = -1
+
+    def subgraph(batch):
+        nbr_nodes = batch.nbr_nids[0].flatten()
+        nbr_mask = nbr_nodes != PAD
+        num_nbrs = len(nbr_nodes) // (
+            len(batch.edge_src) + len(batch.edge_dst) + len(batch.neg)
+        )
+        src_nodes = torch.cat(
+            [
+                batch.edge_src.repeat_interleave(num_nbrs),
+                batch.edge_dst.repeat_interleave(num_nbrs),
+                batch.neg.repeat_interleave(num_nbrs),
+            ]
+        )
+        edge_index = torch.stack(
+            [
+                batch.global_to_local(src_nodes[nbr_mask]),
+                batch.global_to_local(nbr_nodes[nbr_mask]),
+            ]
+        ).to(torch.int64)
+        edge_time = batch.nbr_edge_time[0].flatten()[nbr_mask]
+        edge_x = batch.nbr_edge_x[0].flatten(0, -2).float()[nbr_mask]
+        return edge_index, edge_time, edge_x
+
+    import torch.nn.functional as F
+
+    def train_epoch(loader):
+        memory.train(); encoder.train(); decoder.train()
+        memory.reset_state()
+        losses = []
+        for batch in loader:
+            opt.zero_grad()
+            edge_index, edge_time, edge_x = subgraph(batch)
+            z, last_update = memory(batch.unique_nids)
+            z = encoder(z, last_update, edge_index, edge_time, edge_x)
+            inv_src = batch.global_to_local(batch.edge_src)
+            inv_dst = batch.global_to_local(batch.edge_dst)
+            inv_neg = batch.global_to_local(batch.neg)
+            pos_out = decoder(z[inv_src], z[inv_dst])
+            neg_out = decoder(z[inv_src], z[inv_neg])
+            loss = F.binary_cross_entropy_with_logits(pos_out, torch.ones_like(pos_out))
+            loss = loss + F.binary_cross_entropy_with_logits(
+                neg_out, torch.zeros_like(neg_out)
+            )
+            memory.update_state(
+                batch.edge_src, batch.edge_dst, batch.edge_time, batch.edge_x.float()
+            )
+            loss.backward()
+            opt.step()
+            losses.append(float(loss.detach()))
+            memory.detach()
+        return losses
+
+    @torch.no_grad()
+    def eval_epoch(loader):
+        memory.eval(); encoder.eval(); decoder.eval()
+        rr = []
+        for batch in loader:
+            edge_index, edge_time, edge_x = subgraph(batch)
+            z, last_update = memory(batch.unique_nids)
+            z = encoder(z, last_update, edge_index, edge_time, edge_x)
+            pos_l, neg_l = [], []
+            for idx, neg_batch in enumerate(batch.neg_batch_list):
+                dst_ids = torch.cat([batch.edge_dst[idx].unsqueeze(0), neg_batch])
+                src_ids = batch.edge_src[idx].repeat(len(dst_ids))
+                y = decoder(
+                    z[batch.global_to_local(src_ids)], z[batch.global_to_local(dst_ids)]
+                ).sigmoid()
+                pos_l.append(float(y[0]))
+                neg_l.append(y[1:].numpy())
+            rr.append(reciprocal_ranks(np.array(pos_l), np.stack(neg_l)))
+            memory.update_state(
+                batch.edge_src, batch.edge_dst, batch.edge_time, batch.edge_x.float()
+            )
+        return float(np.mean(np.concatenate(rr)))
+
+    train_loader = DGDataLoader(train_dg, cfg.bsize, hook_manager=hm)
+    val_loader = DGDataLoader(val_dg, cfg.bsize, hook_manager=hm)
+    test_loader = DGDataLoader(test_dg, cfg.bsize, hook_manager=hm)
+
+    losses, val_mrrs, test_mrr = [], [], float("nan")
+    t0 = time.perf_counter()
+    train_time = 0.0
+    for epoch in range(cfg.epochs):
+        with hm.activate("train"):
+            te0 = time.perf_counter()
+            losses.append(train_epoch(train_loader))
+            train_time += time.perf_counter() - te0
+        with hm.activate("val"):
+            val_mrrs.append(eval_epoch(val_loader))
+        if epoch == cfg.epochs - 1:
+            with hm.activate("test"):
+                test_mrr = eval_epoch(test_loader)
+        else:
+            hm.reset_state()
+    wall = time.perf_counter() - t0
+
+    return {
+        "losses": losses,
+        "val_mrr": val_mrrs,
+        "test_mrr": test_mrr,
+        "modules": init_modules,
+        "train_time_s": train_time,
+        "wall_s": wall,
+        "train_edges": len(splits["train"]["src"]) * cfg.epochs,
+    }
+
+
+# --------------------------------------------------------------------------- #
+# tgm_tpu (jax) side
+# --------------------------------------------------------------------------- #
+def run_ours(cfg: ParityConfig, splits, negs, torch_modules) -> Dict:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # parity runs on CPU (fp32 matmuls)
+    import jax.numpy as jnp
+    import optax
+
+    from tools.refbridge import (
+        dense_params,
+        gru_params,
+        link_predictor_params,
+        time2vec_params,
+    )
+    from tgm_tpu import DGDataLoader, DGraph
+    from tgm_tpu.constants import PADDED_NODE_ID
+    from tgm_tpu.data.dg_data import DGData
+    from tgm_tpu.hooks import (
+        DeduplicationHook,
+        HookManager,
+        RecencyNeighborHook,
+        map_to_local,
+    )
+    from tgm_tpu.hooks.base import StatefulHook
+    from tgm_tpu.nn import LinkPredictor
+    from tgm_tpu.nn.encoder.tgn import (
+        GraphAttentionEmbedding,
+        TGNMemory,
+        tgn_store_messages,
+    )
+
+    def dg_of(sp):
+        data = DGData.from_raw(
+            edge_time=sp["t"],
+            edge_index=np.stack([sp["src"], sp["dst"]], 1),
+            edge_x=sp["x"],
+            time_delta="s",
+        )
+        return DGraph(data)
+
+    train_dg, val_dg, test_dg = dg_of(splits["train"]), dg_of(splits["val"]), dg_of(splits["test"])
+
+    class InjectTrainNeg(StatefulHook):
+        _cls_requires = {"edge_time"}
+        _cls_produces = {"neg", "neg_time"}
+
+        def __init__(self, neg_list):
+            super().__init__()
+            self.neg_list = [n.astype(np.int32) for n in neg_list]
+            self.i = 0
+
+        def __call__(self, dg, batch):
+            # Pad to the loader's (rounded-up) batch width; padded rows must
+            # not inject live seed nodes.
+            width = batch.edge_src.shape[0]
+            neg = np.full(width, PADDED_NODE_ID, np.int32)
+            real = self.neg_list[self.i]
+            neg[: len(real)] = real
+            self.i += 1
+            neg = jnp.asarray(neg)
+            if batch.edge_valid is not None:
+                neg = jnp.where(batch.edge_valid, neg, PADDED_NODE_ID)
+            batch.neg = neg
+            batch.neg_time = batch.edge_time
+            return batch
+
+        def reset_state(self):
+            self.i = 0
+
+    class InjectEvalNeg(StatefulHook):
+        """Static-shape version of the reference TGB hook semantics: ``neg`` is
+        the unique candidate set padded to a fixed capacity."""
+
+        _cls_requires = {"edge_time"}
+        _cls_produces = {"neg", "neg_batch_list", "neg_time", "neg_valid"}
+
+        def __init__(self, sets, bsize, Q):
+            super().__init__()
+            self.i = 0
+            self.cap = bsize * Q
+            self.Q = Q
+            self.raw = sets
+
+        def __call__(self, dg, batch):
+            s = self.raw[self.i]
+            self.i += 1
+            width = batch.edge_src.shape[0]
+            uniq = np.full(self.cap, PADDED_NODE_ID, np.int32)
+            uniq[: len(s["uniq"])] = s["uniq"]
+            nt = np.zeros(self.cap, np.int32)
+            nt[: len(s["neg_time"])] = s["neg_time"]
+            cands = np.full((width, self.Q), PADDED_NODE_ID, np.int32)
+            cands[: len(s["cands"])] = s["cands"]
+            batch.neg = jnp.asarray(uniq)
+            batch.neg_time = jnp.asarray(nt)
+            batch.neg_batch_list = jnp.asarray(cands)
+            batch.neg_valid = batch.neg_batch_list != PADDED_NODE_ID
+            return batch
+
+        def reset_state(self):
+            self.i = 0
+
+    hm = HookManager(keys=["train", "val", "test"])
+    hm.register("train", InjectTrainNeg(negs["train"]))
+    hm.register("val", InjectEvalNeg(negs["val"], cfg.bsize, cfg.n_cands))
+    hm.register("test", InjectEvalNeg(negs["test"], cfg.bsize, cfg.n_cands))
+    hm.register_shared(
+        RecencyNeighborHook(
+            cfg.n_nodes,
+            [cfg.num_nbrs],
+            ["edge_src", "edge_dst", "neg"],
+            ["edge_time", "edge_time", "neg_time"],
+            edge_dim=cfg.edge_dim,
+        )
+    )
+    hm.register_shared(DeduplicationHook(cfg.n_nodes, seed_nodes_keys=["neg", "nbr_nids"]))
+
+    memory = TGNMemory(
+        num_nodes=cfg.n_nodes, raw_msg_dim=cfg.edge_dim,
+        memory_dim=cfg.memory_dim, time_dim=cfg.time_dim,
+    )
+    encoder = GraphAttentionEmbedding(
+        in_channels=cfg.memory_dim, out_channels=cfg.embed_dim,
+        msg_dim=cfg.edge_dim, time_dim=cfg.time_dim, dropout=0.0,
+    )
+    decoder = LinkPredictor(node_dim=cfg.embed_dim, hidden_dim=cfg.embed_dim)
+
+    # ---- weights copied from the torch modules; time encoder TIED ---- #
+    ref_mem = torch_modules["memory"]
+    ref_enc = torch_modules["encoder"]
+    conv = ref_enc.conv
+    params = {
+        "time": time2vec_params(ref_mem.time_enc),  # single shared leaf
+        "gru": gru_params(ref_mem.memory_updater),
+        "enc": {
+            "lin_query": dense_params(conv.lin_query),
+            "lin_key": dense_params(conv.lin_key),
+            "lin_value": dense_params(conv.lin_value),
+            "lin_edge": dense_params(conv.lin_edge),
+            "lin_skip": dense_params(conv.lin_skip),
+        },
+        "dec": link_predictor_params(torch_modules["decoder"])["params"],
+    }
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    def mem_tree(p):
+        return {"params": {"time_enc": p["time"], "gru": p["gru"]}}
+
+    def enc_tree(p):
+        return {"params": {"time_enc": p["time"], **p["enc"]}}
+
+    def dec_tree(p):
+        return {"params": p["dec"]}
+
+    opt = optax.adam(cfg.lr)
+    opt_state = opt.init(params)
+
+    def subgraph(batch):
+        g2l = batch.global_to_local
+        seeds = batch.seed_nids[0]
+        nbrs = batch.nbr_nids[0]
+        K = nbrs.shape[1]
+        src_rep = jnp.repeat(seeds, K)
+        nbr_flat = nbrs.reshape(-1)
+        valid = (nbr_flat != PADDED_NODE_ID) & (src_rep != PADDED_NODE_ID)
+        return (
+            map_to_local(g2l, src_rep),
+            map_to_local(g2l, nbr_flat),
+            batch.nbr_edge_time[0].reshape(-1),
+            batch.nbr_edge_x[0].reshape(nbr_flat.shape[0], -1),
+            valid,
+        )
+
+    def encode(p, mem_state, batch, training):
+        z_mem, last_upd = memory.apply(
+            mem_tree(p), mem_state, batch.unique_nids, training, method=TGNMemory.stage
+        )
+        e_src, e_dst, e_t, e_x, e_valid = subgraph(batch)
+        return encoder.apply(
+            enc_tree(p), z_mem, last_upd, e_src, e_dst, e_t, e_x, e_valid
+        )
+
+    def bce(logits, target, mask):
+        loss = optax.sigmoid_binary_cross_entropy(logits, target)
+        w = mask.astype(loss.dtype)
+        return jnp.sum(loss * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+    def commit_train(p, mem_state, batch):
+        nodes = jnp.concatenate([batch.edge_src, batch.edge_dst])
+        nodes = jnp.where(
+            jnp.concatenate([batch.edge_valid, batch.edge_valid]), nodes, cfg.n_nodes
+        )
+        mem_state = memory.apply(mem_tree(p), mem_state, nodes, method=TGNMemory.flush)
+        return tgn_store_messages(
+            mem_state, batch.edge_src, batch.edge_dst, batch.edge_time,
+            batch.edge_x, batch.edge_valid,
+        )
+
+    @jax.jit
+    def train_step(params, opt_state, mem_state, batch):
+        g2l = batch.global_to_local
+
+        def loss_fn(p):
+            z = encode(p, mem_state, batch, training=True)
+            pos = decoder.apply(
+                dec_tree(p),
+                z[map_to_local(g2l, batch.edge_src)],
+                z[map_to_local(g2l, batch.edge_dst)],
+            )
+            neg = decoder.apply(
+                dec_tree(p),
+                z[map_to_local(g2l, batch.edge_src)],
+                z[map_to_local(g2l, batch.neg)],
+            )
+            m = batch.edge_valid
+            return bce(pos, jnp.ones_like(pos), m) + bce(neg, jnp.zeros_like(neg), m)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        mem_state = commit_train(params, mem_state, batch)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, mem_state, loss
+
+    @jax.jit
+    def eval_step(params, mem_state, batch):
+        B = batch.edge_src.shape[0]
+        Q = batch.neg_batch_list.shape[1]
+        g2l = batch.global_to_local
+        z = encode(params, mem_state, batch, training=False)
+        z_src = z[map_to_local(g2l, batch.edge_src)]
+        z_dst = z[map_to_local(g2l, batch.edge_dst)]
+        z_neg = z[map_to_local(g2l, batch.neg_batch_list.reshape(-1))]
+        pos = decoder.apply(dec_tree(params), z_src, z_dst)
+        neg = decoder.apply(
+            dec_tree(params),
+            jnp.repeat(z_src[:, None, :], Q, axis=1).reshape(B * Q, -1),
+            z_neg,
+        ).reshape(B, Q)
+        # Reference eval-mode update_state: store messages, then apply them.
+        mem_state = tgn_store_messages(
+            mem_state, batch.edge_src, batch.edge_dst, batch.edge_time,
+            batch.edge_x, batch.edge_valid,
+        )
+        nodes = jnp.concatenate([batch.edge_src, batch.edge_dst])
+        nodes = jnp.where(
+            jnp.concatenate([batch.edge_valid, batch.edge_valid]), nodes, cfg.n_nodes
+        )
+        mem_state = memory.apply(mem_tree(params), mem_state, nodes, method=TGNMemory.flush)
+        return mem_state, jax.nn.sigmoid(pos), jax.nn.sigmoid(neg)
+
+    flush_all = jax.jit(
+        lambda p, s: memory.apply(mem_tree(p), s, method=TGNMemory.flush_all)
+    )
+
+    mem_state = memory.init_state()
+
+    def train_epoch():
+        nonlocal params, opt_state, mem_state
+        mem_state = memory.init_state()  # reference: memory.reset_state()
+        losses = []
+        loader = DGDataLoader(train_dg, cfg.bsize, hook_manager=hm)
+        with hm.activate("train"):
+            for batch in loader:
+                params, opt_state, mem_state, loss = train_step(
+                    params, opt_state, mem_state, batch
+                )
+                losses.append(float(loss))
+        return losses
+
+    def eval_epoch(dg, key, sets):
+        nonlocal mem_state
+        rr = []
+        loader = DGDataLoader(dg, cfg.bsize, hook_manager=hm)
+        with hm.activate(key):
+            for bi, batch in enumerate(loader):
+                mem_state, pos, neg = eval_step(params, mem_state, batch)
+                n_real = len(sets[bi]["cands"])
+                rr.append(
+                    reciprocal_ranks(
+                        np.asarray(pos)[:n_real], np.asarray(neg)[:n_real]
+                    )
+                )
+        return float(np.mean(np.concatenate(rr)))
+
+    losses, val_mrrs, test_mrr = [], [], float("nan")
+    t0 = time.perf_counter()
+    for epoch in range(cfg.epochs):
+        losses.append(train_epoch())
+        mem_state = flush_all(params, mem_state)  # train -> eval transition
+        val_mrrs.append(eval_epoch(val_dg, "val", negs["val"]))
+        if epoch == cfg.epochs - 1:
+            test_mrr = eval_epoch(test_dg, "test", negs["test"])
+        else:
+            hm.reset_state()
+    wall = time.perf_counter() - t0
+
+    return {"losses": losses, "val_mrr": val_mrrs, "test_mrr": test_mrr, "wall_s": wall}
+
+
+# --------------------------------------------------------------------------- #
+def compare(ref: Dict, ours: Dict) -> Dict:
+    ref_l = np.array(ref["losses"])
+    our_l = np.array(ours["losses"])
+    dl = np.abs(ref_l - our_l)
+    return {
+        "n_epochs": int(ref_l.shape[0]),
+        "n_train_batches": int(ref_l.shape[1]),
+        "loss_max_abs_diff": float(dl.max()),
+        "loss_mean_abs_diff": float(dl.mean()),
+        "loss_first_batch": [float(ref_l[0, 0]), float(our_l[0, 0])],
+        "loss_last_batch": [float(ref_l[-1, -1]), float(our_l[-1, -1])],
+        "val_mrr_ref": [float(v) for v in ref["val_mrr"]],
+        "val_mrr_ours": [float(v) for v in ours["val_mrr"]],
+        "val_mrr_max_abs_diff": float(
+            np.abs(np.array(ref["val_mrr"]) - np.array(ours["val_mrr"])).max()
+        ),
+        "test_mrr_ref": float(ref["test_mrr"]),
+        "test_mrr_ours": float(ours["test_mrr"]),
+        "test_mrr_abs_diff": float(abs(ref["test_mrr"] - ours["test_mrr"])),
+    }
+
+
+def run_parity(cfg: ParityConfig) -> Dict:
+    splits = make_splits(cfg)
+    negs = precompute_negatives(cfg, splits)
+    ref = run_reference(cfg, splits, negs)
+    ours = run_ours(cfg, splits, negs, ref["modules"])
+    out = compare(ref, ours)
+    out["config"] = dataclasses.asdict(cfg)
+    out["reference_train_time_s"] = ref["train_time_s"]
+    out["reference_train_edges_per_sec"] = ref["train_edges"] / ref["train_time_s"]
+    return out
+
+
+def main() -> None:
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=2)
+    p.add_argument("--n-edges", type=int, default=4000)
+    p.add_argument("--out", type=str, default="PARITY_r02.json")
+    args = p.parse_args()
+
+    cfg = ParityConfig(epochs=args.epochs, n_edges=args.n_edges)
+    out = run_parity(cfg)
+    Path(args.out).write_text(json.dumps(out, indent=2) + "\n")
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

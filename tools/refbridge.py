@@ -223,18 +223,12 @@ def time2vec_params(ref_time_enc) -> dict:
 
 
 def gru_params(cell: torch.nn.GRUCell) -> dict:
-    """torch GRUCell -> flax nn.GRUCell param dict (gate mapping r,z,n)."""
-    H = cell.hidden_size
-    w_ih, w_hh = t2n(cell.weight_ih), t2n(cell.weight_hh)
-    b_ih, b_hh = t2n(cell.bias_ih), t2n(cell.bias_hh)
-    r, z, n = slice(0, H), slice(H, 2 * H), slice(2 * H, 3 * H)
+    """torch GRUCell -> our TorchGRUCell param dict (identical leaf layout)."""
     return {
-        "ir": {"kernel": w_ih[r].T, "bias": b_ih[r] + b_hh[r]},
-        "iz": {"kernel": w_ih[z].T, "bias": b_ih[z] + b_hh[z]},
-        "in": {"kernel": w_ih[n].T, "bias": b_ih[n]},
-        "hr": {"kernel": w_hh[r].T},
-        "hz": {"kernel": w_hh[z].T},
-        "hn": {"kernel": w_hh[n].T, "bias": b_hh[n]},
+        "wi": t2n(cell.weight_ih).T,
+        "bi": t2n(cell.bias_ih),
+        "wh": t2n(cell.weight_hh).T,
+        "bh": t2n(cell.bias_hh),
     }
 
 
