@@ -12,10 +12,16 @@ sampling, TGN memory staging/commit, TransformerConv embedding, loss and the
 optimizer update all fused into the scan body. Timing excludes compilation
 (first epoch warms up, subsequent epochs are measured).
 
-``vs_baseline`` compares against an estimated TGM reference throughput of
-15,000 edges/s (A100, bsize 200; the reference repo publishes no absolute
-numbers — see BASELINE.md — so this constant is a placeholder until a real
-TGM-CUDA measurement lands).
+Baselines (both reported):
+
+* ``vs_reference_cpu_measured`` — measured throughput of the reference
+  library's own TGN train loop (its loader + hook DAG + model + Adam) on this
+  image's CPU at identical shapes, from BASELINE_MEASURED.json (produced by
+  ``python tools/measure_baseline.py``; the reference repo publishes no
+  absolute numbers, see BASELINE.md).
+* ``vs_baseline`` — against an *estimated* TGM-CUDA throughput of 15,000
+  edges/s (A100, bsize 200). Clearly an estimate: no GPU exists in this image
+  to measure; kept as the conservative headline comparator.
 
 Prints exactly one JSON line.
 """
@@ -28,8 +34,21 @@ import time
 
 import numpy as np
 
-# Reference-throughput placeholder (see module docstring).
-BASELINE_EDGES_PER_SEC = 15_000.0
+# Estimated TGM-CUDA throughput (A100; see module docstring).
+BASELINE_CUDA_ESTIMATE_EDGES_PER_SEC = 15_000.0
+
+
+def measured_cpu_baseline() -> float | None:
+    """Measured reference-CPU train throughput (tools/measure_baseline.py)."""
+    import json as _json
+    import os as _os
+
+    path = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "BASELINE_MEASURED.json")
+    if not _os.path.exists(path):
+        return None
+    with open(path) as f:
+        return float(_json.load(f)["reference_train_edges_per_sec"])
 
 # tgbl-wiki shape constants.
 WIKI_NODES = 9_227
@@ -137,16 +156,18 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
 
     edges_per_sec = num_edges / min(times)
-    print(
-        json.dumps(
-            {
-                "metric": f"{args.model}_train_edges_per_sec_tgbl_wiki_shape",
-                "value": round(edges_per_sec, 1),
-                "unit": "edges/s",
-                "vs_baseline": round(edges_per_sec / BASELINE_EDGES_PER_SEC, 3),
-            }
-        )
-    )
+    out = {
+        "metric": f"{args.model}_train_edges_per_sec_tgbl_wiki_shape",
+        "value": round(edges_per_sec, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(edges_per_sec / BASELINE_CUDA_ESTIMATE_EDGES_PER_SEC, 3),
+        "baseline_is": "tgm_cuda_estimate_15k",
+    }
+    cpu_base = measured_cpu_baseline()
+    if cpu_base is not None:
+        out["vs_reference_cpu_measured"] = round(edges_per_sec / cpu_base, 3)
+        out["reference_cpu_edges_per_sec"] = round(cpu_base, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
