@@ -76,12 +76,105 @@ def build_stream(num_nodes: int, num_edges: int, edge_dim: int, seed: int = 0):
     )
 
 
+def run_hook_bench(args, dg, stream, num_nodes, num_edges, edge_dim) -> None:
+    """Benchmark the advertised hook API: HookManager pipeline + model step
+    fused into one scanned XLA program per epoch (train/hook_pipeline.py)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tgm_tpu.hooks import (
+        DeduplicationHook,
+        HookManager,
+        RandomNegativeEdgeSamplerHook,
+        RecencyNeighborHook,
+    )
+    from tgm_tpu.nn import LinkPredictor
+    from tgm_tpu.nn.encoder.tgn import GraphAttentionEmbedding, TGNMemory
+    from tgm_tpu.train import scanned_hook_epoch
+    from tgm_tpu.train.programs import build_tgn_hook_cores
+
+    dims = 100
+    hm = HookManager(keys=["train"])
+    hm.register(
+        "train",
+        RandomNegativeEdgeSamplerHook(
+            low=int(dg.edge_dst.min()), high=int(dg.edge_dst.max())
+        ),
+    )
+    hm.register_shared(
+        RecencyNeighborHook(
+            num_nodes, [10], ["edge_src", "edge_dst", "neg"],
+            ["edge_time", "edge_time", "neg_time"], edge_dim=edge_dim,
+        )
+    )
+    hm.register_shared(DeduplicationHook(num_nodes, seed_nodes_keys=["neg", "nbr_nids"]))
+
+    memory = TGNMemory(num_nodes=num_nodes, raw_msg_dim=edge_dim,
+                       memory_dim=dims, time_dim=dims)
+    encoder = GraphAttentionEmbedding(in_channels=dims, out_channels=dims,
+                                      msg_dim=edge_dim, time_dim=dims, dropout=0.0)
+    decoder = LinkPredictor(node_dim=dims, hidden_dim=dims)
+    opt = optax.adam(1e-4)
+
+    key = jax.random.PRNGKey(0)
+    key, k1, k2, k3 = jax.random.split(key, 4)
+    mem_state = memory.init_state()
+    params = {
+        "mem": memory.init(k1, mem_state, jnp.zeros(8, jnp.int32)),
+        "enc": encoder.init(
+            k2, jnp.zeros((8, dims)), jnp.zeros(8, jnp.int32),
+            jnp.zeros(4, jnp.int32), jnp.zeros(4, jnp.int32),
+            jnp.zeros(4, jnp.int32), jnp.zeros((4, edge_dim)), jnp.ones(4, bool),
+        ),
+        "dec": decoder.init(k3, jnp.zeros((1, dims)), jnp.zeros((1, dims))),
+    }
+    opt_state = opt.init(params)
+
+    train_core, _ = build_tgn_hook_cores(memory, encoder, decoder, opt, num_nodes)
+    epoch, hstates = scanned_hook_epoch(stream, hm, "train", dg, train_core)
+
+    carry = (params, opt_state, mem_state, key)
+    carry, hstates, losses = epoch(carry, hstates)  # compile + warm
+    jax.block_until_ready(losses)
+    first_loss = float(np.asarray(losses)[0])
+    assert np.isfinite(first_loss), f"non-finite loss: {first_loss}"
+
+    times = []
+    for _ in range(max(args.epochs, 1)):
+        t0 = _time.perf_counter()
+        carry, hstates, losses = epoch(carry, hstates)
+        jax.block_until_ready(losses)
+        times.append(_time.perf_counter() - t0)
+
+    edges_per_sec = num_edges / min(times)
+    out = {
+        "metric": "tgn_hook_api_train_edges_per_sec_tgbl_wiki_shape",
+        "value": round(edges_per_sec, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(edges_per_sec / BASELINE_CUDA_ESTIMATE_EDGES_PER_SEC, 3),
+        "baseline_is": "tgm_cuda_estimate_15k",
+    }
+    cpu_base = measured_cpu_baseline()
+    if cpu_base is not None:
+        out["vs_reference_cpu_measured"] = round(edges_per_sec / cpu_base, 3)
+        out["reference_cpu_edges_per_sec"] = round(cpu_base, 1)
+    print(json.dumps(out))
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--smoke", action="store_true", help="tiny shapes, fast check")
     p.add_argument("--bsize", type=int, default=200)
     p.add_argument("--epochs", type=int, default=2, help="timed epochs after warmup")
-    p.add_argument("--model", type=str, default="tgn", choices=["tgn", "tgat"])
+    p.add_argument(
+        "--model", type=str, default="tgn",
+        choices=["tgn", "tgat", "tgn-hooks"],
+        help="tgn/tgat: hand-fused scanned pipelines; tgn-hooks: the "
+        "advertised HookManager API driven through scanned_hook_epoch",
+    )
     args = p.parse_args()
 
     import jax
@@ -106,6 +199,10 @@ def main() -> None:
     data = build_stream(num_nodes, num_edges, edge_dim)
     dg = DGraph(data)
     stream = DeviceEdgeStream(dg, args.bsize)
+
+    if args.model == "tgn-hooks":
+        run_hook_bench(args, dg, stream, num_nodes, num_edges, edge_dim)
+        return
 
     if args.model == "tgat":
         import jax.numpy as jnp

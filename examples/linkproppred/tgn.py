@@ -15,7 +15,6 @@ from __future__ import annotations
 import argparse
 import sys
 import time
-from functools import partial
 from pathlib import Path
 
 import jax
@@ -26,18 +25,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 from examples._datasets import load_dataset
 from tgm_tpu import DGDataLoader, DGraph
-from tgm_tpu.constants import PADDED_NODE_ID
-from tgm_tpu.eval.metrics import mrr_sum_count
 from tgm_tpu.hooks import (
     DeduplicationHook,
     HookManager,
     RandomNegativeEdgeSamplerHook,
     RecencyNeighborHook,
     TGBNegativeEdgeSamplerHook,
-    map_to_local,
 )
 from tgm_tpu.nn import LinkPredictor
-from tgm_tpu.nn.encoder.tgn import GraphAttentionEmbedding, TGNMemory, tgn_store_messages
+from tgm_tpu.nn.encoder.tgn import GraphAttentionEmbedding, TGNMemory
+from tgm_tpu.train.programs import build_tgn_hook_cores
 from tgm_tpu.util import enable_logging, log_metric, seed_everything
 
 
@@ -58,6 +55,11 @@ def parse_args() -> argparse.Namespace:
         "--fast", action="store_true",
         help="train via the fully-scanned TGNPipeline (one XLA program per "
         "epoch, dense rowwise attention) instead of the hook-manager path",
+    )
+    p.add_argument(
+        "--eager", action="store_true",
+        help="run the hook pipeline per batch from host Python (reference-"
+        "style loop) instead of the default scanned hook-pipeline epochs",
     )
     return p.parse_args()
 
@@ -93,29 +95,6 @@ def run_fast(args) -> None:
             f"epoch={e} loss={float(np.asarray(losses).mean()):.4f} "
             f"train_edges/s={n_edges / dt:.0f}"
         )
-
-
-def bce_with_logits(logits, target, mask):
-    loss = optax.sigmoid_binary_cross_entropy(logits, target)
-    w = mask.astype(loss.dtype)
-    return jnp.sum(loss * w) / jnp.maximum(jnp.sum(w), 1.0)
-
-
-def build_local_edges(batch, num_nodes):
-    """Local subgraph edges (seed -> neighbor) exactly as the reference example
-    builds them (examples/linkproppred/tgn.py:74-95)."""
-    g2l = batch.global_to_local
-    seeds = batch.seed_nids[0]  # (S,)
-    nbrs = batch.nbr_nids[0]  # (S, K)
-    K = nbrs.shape[1]
-    src_rep = jnp.repeat(seeds, K)
-    nbr_flat = nbrs.reshape(-1)
-    valid = (nbr_flat != PADDED_NODE_ID) & (src_rep != PADDED_NODE_ID)
-    e_src = map_to_local(g2l, src_rep)
-    e_dst = map_to_local(g2l, nbr_flat)
-    e_t = batch.nbr_edge_time[0].reshape(-1)
-    e_x = batch.nbr_edge_x[0].reshape(nbr_flat.shape[0], -1)
-    return e_src, e_dst, e_t, e_x, valid
 
 
 def main() -> None:
@@ -190,129 +169,76 @@ def main() -> None:
     params = {"mem": mem_params, "enc": enc_params, "dec": dec_params}
     opt_state = opt.init(params)
 
-    def encode(p, mem_state, batch, training, dropout_rng=None):
-        z_mem, last_upd = memory.apply(
-            p["mem"], mem_state, batch.unique_nids, training, method=TGNMemory.stage
-        )
-        e_src, e_dst, e_t, e_x, e_valid = build_local_edges(batch, num_nodes)
-        rngs = None if dropout_rng is None else {"dropout": dropout_rng}
-        z = encoder.apply(
-            p["enc"],
-            z_mem,
-            last_upd,
-            e_src,
-            e_dst,
-            e_t,
-            e_x,
-            e_valid,
-            deterministic=dropout_rng is None,
-            rngs=rngs,
-        )
-        return z
+    train_core, eval_core = build_tgn_hook_cores(
+        memory, encoder, decoder, opt, num_nodes
+    )
 
-    def raw_msg(batch):
-        if batch.edge_x is not None:
-            return batch.edge_x
-        return jnp.zeros((batch.edge_src.shape[0], 0), jnp.float32)
-
-    def commit(p, mem_state, batch):
-        """Reference train-mode update_state: flush pending for batch nodes,
-        then overwrite their message stores with this batch."""
-        nodes = jnp.concatenate([batch.edge_src, batch.edge_dst])
-        nodes = jnp.where(
-            jnp.concatenate([batch.edge_valid, batch.edge_valid]), nodes, num_nodes
-        )
-        mem_state = memory.apply(p["mem"], mem_state, nodes, method=TGNMemory.flush)
-        return tgn_store_messages(
-            mem_state, batch.edge_src, batch.edge_dst, batch.edge_time,
-            raw_msg(batch), batch.edge_valid,
-        )
-
-    @partial(jax.jit, donate_argnums=(1, 2, 3))
-    def train_step(params, opt_state, mem_state, rng, batch):
-        rng, dropout_rng = jax.random.split(rng)
-        B = batch.edge_src.shape[0]
-        g2l = batch.global_to_local
-
-        def loss_fn(p):
-            z = encode(p, mem_state, batch, training=True, dropout_rng=dropout_rng)
-            pos = decoder.apply(
-                p["dec"], z[map_to_local(g2l, batch.edge_src)], z[map_to_local(g2l, batch.edge_dst)]
-            )
-            neg = decoder.apply(
-                p["dec"], z[map_to_local(g2l, batch.edge_src)], z[map_to_local(g2l, batch.neg)]
-            )
-            m = batch.edge_valid
-            return bce_with_logits(pos, jnp.ones_like(pos), m) + bce_with_logits(
-                neg, jnp.zeros_like(neg), m
-            )
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        # Reference order: update_state runs before opt.step (old params).
-        mem_state = commit(params, mem_state, batch)
-        updates, opt_state = opt.update(grads, opt_state)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, mem_state, rng, loss
-
-    @partial(jax.jit, donate_argnums=(1,))
-    def eval_step(params, mem_state, batch):
-        B = batch.edge_src.shape[0]
-        Q = batch.neg_batch_list.shape[1]
-        g2l = batch.global_to_local
-        z = encode(params, mem_state, batch, training=False)
-        z_src = z[map_to_local(g2l, batch.edge_src)]
-        z_dst = z[map_to_local(g2l, batch.edge_dst)]
-        z_neg = z[map_to_local(g2l, batch.neg_batch_list.reshape(-1))].reshape(B, Q, -1)
-        pos_score = decoder.apply(params["dec"], z_src, z_dst)
-        neg_score = decoder.apply(
-            params["dec"],
-            jnp.repeat(z_src[:, None, :], Q, axis=1).reshape(B * Q, -1),
-            z_neg.reshape(B * Q, -1),
-        ).reshape(B, Q)
-        s, c = mrr_sum_count(
-            pos_score,
-            neg_score,
-            neg_valid=batch.neg_batch_list != PADDED_NODE_ID,
-            edge_valid=batch.edge_valid,
-        )
-        # Reference eval-mode update_state: store messages, then apply them.
-        mem_state = tgn_store_messages(
-            mem_state, batch.edge_src, batch.edge_dst, batch.edge_time,
-            raw_msg(batch), batch.edge_valid,
-        )
-        nodes = jnp.concatenate([batch.edge_src, batch.edge_dst])
-        nodes = jnp.where(
-            jnp.concatenate([batch.edge_valid, batch.edge_valid]), nodes, num_nodes
-        )
-        mem_state = memory.apply(params["mem"], mem_state, nodes, method=TGNMemory.flush)
-        return mem_state, s, c
+    train_step = jax.jit(train_core, donate_argnums=(0,))
+    eval_step = jax.jit(eval_core, donate_argnums=(0,))
 
     flush_all = jax.jit(
         lambda p, s: memory.apply(p["mem"], s, method=TGNMemory.flush_all),
         donate_argnums=(1,),
     )
 
+    # --- scanned hook-pipeline epochs (default execution model) -------- #
+    from tgm_tpu.train import DeviceEdgeStream, scanned_hook_epoch
+
+    streams = (
+        None
+        if args.eager
+        else {
+            "train": DeviceEdgeStream(train_dg, args.bsize),
+            "val": DeviceEdgeStream(val_dg, args.bsize),
+            "test": DeviceEdgeStream(test_dg, args.bsize),
+        }
+    )
+    dgs = {"train": train_dg, "val": val_dg, "test": test_dg}
+    epoch_fns = {}
+
+    def scanned_epoch(split, core):
+        if split not in epoch_fns:
+            epoch_fns[split] = scanned_hook_epoch(
+                streams[split], hm, split, dgs[split], core
+            )[0]
+        _, hstates = hm.as_transform(split, dgs[split])
+        return epoch_fns[split], hstates
+
     def run_train():
         nonlocal params, opt_state, mem_state, key
         mem_state = memory.init_state()  # reference: memory.reset_state() per epoch
+        if not args.eager:
+            epoch, hstates = scanned_epoch("train", train_core)
+            (params, opt_state, mem_state, key), hstates, losses = epoch(
+                (params, opt_state, mem_state, key), hstates
+            )
+            hm.adopt_states("train", hstates)
+            import numpy as _np
+
+            return float(_np.mean(_np.asarray(losses)))
         loader = DGDataLoader(train_dg, args.bsize, hook_manager=hm)
         total_loss, nb = 0.0, 0
         with hm.activate("train"):
             for batch in loader:
-                params, opt_state, mem_state, key, loss = train_step(
-                    params, opt_state, mem_state, key, batch
+                (params, opt_state, mem_state, key), loss = train_step(
+                    (params, opt_state, mem_state, key), batch
                 )
                 total_loss += float(loss)
                 nb += 1
         return total_loss / max(nb, 1)
 
     def run_eval(dg, split):
-        nonlocal mem_state
+        nonlocal params, mem_state
+        if not args.eager:
+            epoch, hstates = scanned_epoch(split, eval_core)
+            (params, mem_state), hstates, (s, c) = epoch((params, mem_state), hstates)
+            hm.adopt_states(split, hstates)
+            return float(jnp.sum(s)) / max(float(jnp.sum(c)), 1.0)
         loader = DGDataLoader(dg, args.bsize, hook_manager=hm)
         s, c = 0.0, 0.0
         with hm.activate(split):
             for batch in loader:
-                mem_state, ds, dc = eval_step(params, mem_state, batch)
+                (params, mem_state), (ds, dc) = eval_step((params, mem_state), batch)
                 s += float(ds)
                 c += float(dc)
         return s / max(c, 1.0)

@@ -258,7 +258,13 @@ class HookManager:
         if self._dirty[key]:
             self.resolve_hooks(key)
         hooks = self._key_to_hooks[key]
-        states = [h.init_state(dg) for h in hooks]
+        # Reuse live state (e.g. recency buffers carried over from a previous
+        # split's iteration) so scanned and eager execution interleave freely.
+        def state_of(h: DGHook) -> Any:
+            live = getattr(h, "state", None) if h.has_state else None
+            return live if live is not None else h.init_state(dg)
+
+        states = [state_of(h) for h in hooks]
 
         def fn(states: List[Any], batch: DGBatch) -> Tuple[List[Any], DGBatch]:
             out_states = []
@@ -268,6 +274,20 @@ class HookManager:
             return out_states, batch
 
         return fn, states
+
+    def adopt_states(self, key: str, states: List[Any]) -> None:
+        """Store a scanned epoch's final hook states back on the hook objects
+        (aligned with ``as_transform``'s hook order) so subsequent eager
+        iteration or checkpointing sees the advanced state."""
+        self._ensure_valid_key(key)
+        hooks = self._key_to_hooks[key]
+        if len(hooks) != len(states):
+            raise ValueError(
+                f"adopt_states: got {len(states)} states for {len(hooks)} hooks"
+            )
+        for h, s in zip(hooks, states):
+            if h.has_state:
+                h.state = s
 
     def collect_states(self) -> Dict[str, Any]:
         """Gather all stateful hooks' state pytrees (for checkpointing)."""

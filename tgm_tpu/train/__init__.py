@@ -1,5 +1,6 @@
 from .checkpoint import CheckpointManager, restore_checkpoint, save_checkpoint
 from .epoch import jit_scan_epoch, scan_epoch
+from .hook_pipeline import scanned_hook_epoch
 from .stream import DeviceEdgeStream
 from .tgat_pipeline import TGATCarry, TGATPipeline
 from .tgn_pipeline import TGNCarry, TGNPipeline
@@ -15,4 +16,5 @@ __all__ = [
     "restore_checkpoint",
     "save_checkpoint",
     "scan_epoch",
+    "scanned_hook_epoch",
 ]

@@ -1,0 +1,163 @@
+"""Reusable pure per-batch programs for hook-pipeline execution.
+
+The TGN link-prediction train/eval transitions used by
+``examples/linkproppred/tgn.py`` and benchmarked by ``bench.py --model
+tgn-hooks`` — built once from flax modules, consumed per batch either by a
+per-batch ``jax.jit`` (eager hook loop) or inside ``scanned_hook_epoch``.
+
+Semantics mirror the reference example
+(/root/reference/examples/linkproppred/tgn.py:57-184): staged memory over the
+dedup'd batch node set, TransformerConv over the recency subgraph, BCE on
+pos/neg scores, reference-ordered memory commit (train: flush-then-store
+before the optimizer step; eval: store-then-flush), masked MRR accumulation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..constants import PADDED_NODE_ID
+from ..eval.metrics import mrr_sum_count
+from ..hooks import map_to_local
+from ..nn.encoder.tgn import TGNMemory, tgn_store_messages
+
+
+def bce_with_logits(logits, target, mask):
+    loss = optax.sigmoid_binary_cross_entropy(logits, target)
+    w = mask.astype(loss.dtype)
+    return jnp.sum(loss * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def build_local_edges(batch, num_nodes):
+    """Local subgraph edges (seed -> neighbor) exactly as the reference example
+    builds them (examples/linkproppred/tgn.py:74-95)."""
+    g2l = batch.global_to_local
+    seeds = batch.seed_nids[0]  # (S,)
+    nbrs = batch.nbr_nids[0]  # (S, K)
+    K = nbrs.shape[1]
+    src_rep = jnp.repeat(seeds, K)
+    nbr_flat = nbrs.reshape(-1)
+    valid = (nbr_flat != PADDED_NODE_ID) & (src_rep != PADDED_NODE_ID)
+    e_src = map_to_local(g2l, src_rep)
+    e_dst = map_to_local(g2l, nbr_flat)
+    e_t = batch.nbr_edge_time[0].reshape(-1)
+    e_x = batch.nbr_edge_x[0].reshape(nbr_flat.shape[0], -1)
+    return e_src, e_dst, e_t, e_x, valid
+
+
+def build_tgn_hook_cores(
+    memory: Any,
+    encoder: Any,
+    decoder: Any,
+    opt: Any,
+    num_nodes: int,
+) -> Tuple[Callable, Callable]:
+    """Return ``(train_core, eval_core)`` pure transitions.
+
+    ``train_core((params, opt_state, mem_state, rng), batch) -> (carry, loss)``
+    ``eval_core((params, mem_state), batch) -> (carry, (mrr_sum, mrr_count))``
+
+    Batches must carry hook products: ``neg`` (+ ``neg_batch_list`` for eval),
+    recency outputs (``seed_nids``/``nbr_*``) and dedup outputs
+    (``unique_nids``/``global_to_local``).
+    """
+
+    def raw_msg(batch):
+        if batch.edge_x is not None:
+            return batch.edge_x
+        return jnp.zeros((batch.edge_src.shape[0], 0), jnp.float32)
+
+    def encode(p, mem_state, batch, training, dropout_rng=None):
+        z_mem, last_upd = memory.apply(
+            p["mem"], mem_state, batch.unique_nids, training, method=TGNMemory.stage
+        )
+        e_src, e_dst, e_t, e_x, e_valid = build_local_edges(batch, num_nodes)
+        rngs = None if dropout_rng is None else {"dropout": dropout_rng}
+        return encoder.apply(
+            p["enc"], z_mem, last_upd, e_src, e_dst, e_t, e_x, e_valid,
+            deterministic=dropout_rng is None, rngs=rngs,
+        )
+
+    def commit(p, mem_state, batch):
+        """Reference train-mode update_state: flush pending for batch nodes,
+        then overwrite their message stores with this batch."""
+        nodes = jnp.concatenate([batch.edge_src, batch.edge_dst])
+        nodes = jnp.where(
+            jnp.concatenate([batch.edge_valid, batch.edge_valid]), nodes, num_nodes
+        )
+        mem_state = memory.apply(p["mem"], mem_state, nodes, method=TGNMemory.flush)
+        return tgn_store_messages(
+            mem_state, batch.edge_src, batch.edge_dst, batch.edge_time,
+            raw_msg(batch), batch.edge_valid,
+        )
+
+    def train_core(carry, batch):
+        params, opt_state, mem_state, rng = carry
+        rng, dropout_rng = jax.random.split(rng)
+        g2l = batch.global_to_local
+
+        def loss_fn(p):
+            z = encode(p, mem_state, batch, training=True, dropout_rng=dropout_rng)
+            pos = decoder.apply(
+                p["dec"],
+                z[map_to_local(g2l, batch.edge_src)],
+                z[map_to_local(g2l, batch.edge_dst)],
+            )
+            neg = decoder.apply(
+                p["dec"],
+                z[map_to_local(g2l, batch.edge_src)],
+                z[map_to_local(g2l, batch.neg)],
+            )
+            m = batch.edge_valid
+            return bce_with_logits(pos, jnp.ones_like(pos), m) + bce_with_logits(
+                neg, jnp.zeros_like(neg), m
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        # Reference order: update_state runs before opt.step (old params).
+        mem_state = commit(params, mem_state, batch)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, mem_state, rng), loss
+
+    def eval_core(carry, batch):
+        params, mem_state = carry
+        B = batch.edge_src.shape[0]
+        Q = batch.neg_batch_list.shape[1]
+        g2l = batch.global_to_local
+        z = encode(params, mem_state, batch, training=False)
+        z_src = z[map_to_local(g2l, batch.edge_src)]
+        z_dst = z[map_to_local(g2l, batch.edge_dst)]
+        z_neg = z[map_to_local(g2l, batch.neg_batch_list.reshape(-1))].reshape(B, Q, -1)
+        pos_score = decoder.apply(params["dec"], z_src, z_dst)
+        neg_score = decoder.apply(
+            params["dec"],
+            jnp.repeat(z_src[:, None, :], Q, axis=1).reshape(B * Q, -1),
+            z_neg.reshape(B * Q, -1),
+        ).reshape(B, Q)
+        s, c = mrr_sum_count(
+            pos_score,
+            neg_score,
+            neg_valid=batch.neg_batch_list != PADDED_NODE_ID,
+            edge_valid=batch.edge_valid,
+        )
+        # Reference eval-mode update_state: store messages, then apply them.
+        mem_state = tgn_store_messages(
+            mem_state, batch.edge_src, batch.edge_dst, batch.edge_time,
+            raw_msg(batch), batch.edge_valid,
+        )
+        nodes = jnp.concatenate([batch.edge_src, batch.edge_dst])
+        nodes = jnp.where(
+            jnp.concatenate([batch.edge_valid, batch.edge_valid]), nodes, num_nodes
+        )
+        mem_state = memory.apply(params["mem"], mem_state, nodes, method=TGNMemory.flush)
+        return (params, mem_state), (s, c)
+
+    return train_core, eval_core
+
+
+__all__ = ["bce_with_logits", "build_local_edges", "build_tgn_hook_cores"]
