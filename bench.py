@@ -235,6 +235,7 @@ def main() -> None:
             lr=1e-4,
             neg_low=int(dg.edge_dst.min()),
             neg_high=int(dg.edge_dst.max()),
+            edge_x_full=stream.edge_x,
         )
     carry = pipe.init_carry(jax.random.PRNGKey(0))
     epoch = jit_scan_epoch(pipe.train_step, stream.batch_at, stream.num_batches)

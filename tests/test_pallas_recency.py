@@ -6,8 +6,18 @@ import numpy as np
 import pytest
 
 from tgm_tpu.constants import PADDED_NODE_ID
-from tgm_tpu.hooks.neighbors import recency_init, recency_query, recency_update
-from tgm_tpu.ops.pallas.recency_select import recency_window_select
+from tgm_tpu.hooks.neighbors import (
+    recency_eid_init,
+    recency_eid_query,
+    recency_eid_update,
+    recency_init,
+    recency_query,
+    recency_update,
+)
+from tgm_tpu.ops.pallas.recency_select import (
+    recency_window_select,
+    recency_window_select_eid,
+)
 
 
 def random_state(rng, num_nodes=20, buf=6, edge_dim=4, events=60):
@@ -73,6 +83,50 @@ def test_time_boundary_strict():
             jnp.array([qt_val], jnp.int32), k=2, block=1, interpret=True,
         )
         assert int(ids[0, -1]) == expect
+
+
+@pytest.mark.parametrize("k", [3, 6])
+def test_eid_kernel_matches_jnp_query(k):
+    """The int-only eid kernel must match the jnp eid path bit-for-bit, and
+    the selected eids must reproduce the feature-buffer path's features."""
+    rng = np.random.default_rng(2)
+    num_nodes, buf, edge_dim, events = 20, 6, 4, 60
+    f_state = recency_init(num_nodes, buf, edge_dim)
+    e_state = recency_eid_init(num_nodes, buf)
+    src = jnp.asarray(rng.integers(0, num_nodes, events), jnp.int32)
+    dst = jnp.asarray(rng.integers(0, num_nodes, events), jnp.int32)
+    t = jnp.asarray(np.sort(rng.integers(0, 500, events)), jnp.int32)
+    x = jnp.asarray(rng.normal(size=(events, edge_dim)).astype(np.float32))
+    eids = jnp.arange(events, dtype=jnp.int32)
+    for i in range(0, events, 15):
+        f_state = recency_update(f_state, src[i:i+15], dst[i:i+15], t[i:i+15],
+                                 x[i:i+15], None, directed=False)
+        e_state = recency_eid_update(e_state, src[i:i+15], dst[i:i+15], t[i:i+15],
+                                     eids[i:i+15], None, directed=False)
+
+    seeds = jnp.asarray(rng.integers(0, num_nodes, 32), jnp.int32)
+    qt = jnp.asarray(rng.integers(0, 600, 32), jnp.int32)
+
+    want_ids, want_t, want_e = recency_eid_query(e_state, seeds, qt, k)
+    nbr_ids, nbr_times, nbr_eids, write_pos = e_state
+    got_ids, got_t, got_e = recency_window_select_eid(
+        nbr_ids[seeds], nbr_times[seeds], nbr_eids[seeds], write_pos[seeds], qt,
+        k=k, block=8, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_ids), np.asarray(want_ids))
+    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(want_t))
+    np.testing.assert_array_equal(np.asarray(got_e), np.asarray(want_e))
+
+    # Cross-check vs the feature-buffer path: same ids/times, and gathering
+    # edge_x by the selected eids reproduces the stored features exactly.
+    from tgm_tpu.hooks.neighbors import gather_edge_feats
+
+    f_ids, f_t, f_x = recency_query(f_state, seeds, qt, k)
+    np.testing.assert_array_equal(np.asarray(got_ids), np.asarray(f_ids))
+    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(f_t))
+    np.testing.assert_allclose(
+        np.asarray(gather_edge_feats(x, got_e)), np.asarray(f_x), atol=0
+    )
 
 
 def test_ragged_block_padding():

@@ -1,0 +1,248 @@
+"""Reference-parity tests for the second half of the model zoo.
+
+DyGFormer, TPNet, TNCN and CTAN contain the subtlest reimplementation details
+(patching, co-occurrence counts, random-projection decay, walk corrections,
+antisymmetric propagation). Each test instantiates the torch reference module
+(/root/reference/tgm/nn/...), copies its weights into our flax module via
+tools/refbridge, and asserts allclose on the outputs for random padded inputs.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    from tools.refbridge import import_reference
+
+    return import_reference()
+
+
+def test_dygformer_forward_parity(ref):
+    import jax.numpy as jnp
+
+    from tgm.nn.encoder.dygformer import DyGFormer as RefDyG
+
+    from tools.refbridge import dygformer_params
+    from tgm_tpu.nn.encoder.dygformer import DyGFormer
+
+    torch.manual_seed(0)
+    rng = np.random.default_rng(0)
+    N, B, K = 30, 6, 7
+    NF, EF, TF, CH, OUT = 5, 4, 8, 12, 10
+    L = K + 1  # seed prepended; max_input_sequence_length must match
+    H = 2
+
+    ref_m = RefDyG(
+        node_feat_dim=NF, edge_x_dim=EF, time_feat_dim=TF,
+        channel_embedding_dim=CH, output_dim=OUT, patch_size=2,
+        num_layers=2, num_heads=H, dropout=0.0,
+        max_input_sequence_length=L, device="cpu",
+    ).eval()
+
+    node_x = rng.normal(size=(N, NF)).astype(np.float32)
+    src = rng.integers(0, N, B)
+    dst = rng.integers(0, N, B)
+    t = rng.integers(50, 100, B).astype(np.int64)
+    nbrs = rng.integers(0, N, (2 * B, K)).astype(np.int64)
+    # Random right-side padding (recency layout: PADs on the left in ours,
+    # but the reference takes the array as given — keep identical layouts).
+    pad_mask = rng.random((2 * B, K)) < 0.3
+    nbrs[pad_mask] = -1
+    nt = rng.integers(0, 50, (2 * B, K)).astype(np.int64)
+    nt[pad_mask] = 0
+    nx = rng.normal(size=(2 * B, K, EF)).astype(np.float32)
+    nx[pad_mask] = 0.0
+
+    with torch.no_grad():
+        z_src_ref, z_dst_ref = ref_m(
+            torch.from_numpy(node_x),
+            torch.from_numpy(np.stack([src, dst]).astype(np.int64)),
+            torch.from_numpy(t),
+            torch.from_numpy(nbrs),
+            torch.from_numpy(nt),
+            torch.from_numpy(nx),
+        )
+
+    ours = DyGFormer(
+        node_feat_dim=NF, edge_x_dim=EF, time_feat_dim=TF,
+        channel_embedding_dim=CH, output_dim=OUT, patch_size=2,
+        num_layers=2, num_heads=H, dropout=0.0, max_input_sequence_length=L,
+    )
+    params = dygformer_params(ref_m, num_heads=H)
+    z_src, z_dst = ours.apply(
+        params,
+        jnp.asarray(node_x),
+        jnp.asarray(src.astype(np.int32)),
+        jnp.asarray(dst.astype(np.int32)),
+        jnp.asarray(t.astype(np.int32)),
+        jnp.asarray(nbrs.astype(np.int32)),
+        jnp.asarray(nt.astype(np.int32)),
+        jnp.asarray(nx),
+    )
+    np.testing.assert_allclose(np.asarray(z_src), z_src_ref.numpy(), rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(z_dst), z_dst_ref.numpy(), rtol=2e-4, atol=1e-5)
+
+
+def test_tpnet_forward_parity(ref):
+    """Stream updates through both RandomProjectionModules, then compare the
+    full TPNet forward (valid neighbors only: the reference's pad handling is
+    a documented artifact — masked_fill discarded + negative-index gathers)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tgm.nn.encoder.tpnet import (
+        RandomProjectionModule as RefRP,
+        TPNet as RefTPNet,
+    )
+
+    from tools.refbridge import tpnet_params
+    from tgm_tpu.nn.encoder.tpnet import RandomProjectionModule, TPNet
+
+    torch.manual_seed(0)
+    rng = np.random.default_rng(0)
+    N, B, K, L = 20, 4, 3, 2
+    NF, EF, TF, OUT = 5, 4, 6, 8
+    decay = 3e-3
+
+    ref_rp = RefRP(num_nodes=N, num_layer=L, time_decay_weight=decay,
+                   beginning_time=0.0, use_matrix=True, device="cpu")
+    ref_m = RefTPNet(
+        node_feat_dim=NF, edge_x_dim=EF, time_feat_dim=TF, output_dim=OUT,
+        num_neighbors=K, num_layers=2, dropout=0.0,
+        random_projections=ref_rp, device="cpu",
+    ).eval()
+
+    our_rp = RandomProjectionModule(
+        num_nodes=N, num_layer=L, time_decay_weight=decay,
+        beginning_time=0.0, use_matrix=True,
+    )
+    ours = TPNet(
+        node_feat_dim=NF, edge_x_dim=EF, time_feat_dim=TF, output_dim=OUT,
+        num_neighbors=K, num_layers=2, dropout=0.0, random_projections=our_rp,
+    )
+    params = tpnet_params(ref_m)
+    rp_state = our_rp.init_state(jax.random.PRNGKey(0))
+
+    # Stream a few update batches through both projection modules.
+    t_cur = 1
+    for _ in range(3):
+        s = rng.integers(0, N, 6).astype(np.int64)
+        d = rng.integers(0, N, 6).astype(np.int64)
+        t = np.sort(rng.integers(t_cur, t_cur + 40, 6)).astype(np.int64)
+        t_cur = int(t.max()) + 1
+        ref_rp.update(torch.from_numpy(s), torch.from_numpy(d), torch.from_numpy(t))
+        rp_state = our_rp.update(
+            rp_state, jnp.asarray(s, jnp.int32), jnp.asarray(d, jnp.int32),
+            jnp.asarray(t, jnp.int32),
+        )
+
+    for i in range(L + 1):
+        np.testing.assert_allclose(
+            np.asarray(rp_state.projections[i][:N, :N]),
+            ref_rp.random_projections[i].detach().numpy(),
+            atol=1e-5, err_msg=f"projection layer {i}",
+        )
+
+    node_x = rng.normal(size=(N, NF)).astype(np.float32)
+    src = rng.integers(0, N, B)
+    dst = rng.integers(0, N, B)
+    t = rng.integers(t_cur, t_cur + 10, B).astype(np.int64)
+    nbrs = rng.integers(0, N, (2 * B, K)).astype(np.int64)  # fully valid
+    nt = rng.integers(0, t_cur, (2 * B, K)).astype(np.int64)
+    nx = rng.normal(size=(2 * B, K, EF)).astype(np.float32)
+
+    with torch.no_grad():
+        z_src_ref, z_dst_ref = ref_m(
+            torch.from_numpy(node_x),
+            torch.from_numpy(np.stack([src, dst]).astype(np.int64)),
+            torch.from_numpy(t),
+            torch.from_numpy(nbrs),
+            torch.from_numpy(nt),
+            torch.from_numpy(nx),
+        )
+
+    z_src, z_dst = ours.apply(
+        params,
+        jnp.asarray(node_x),
+        jnp.asarray(src.astype(np.int32)),
+        jnp.asarray(dst.astype(np.int32)),
+        jnp.asarray(t.astype(np.int32)),
+        jnp.asarray(nbrs.astype(np.int32)),
+        jnp.asarray(nt.astype(np.int32)),
+        jnp.asarray(nx),
+        rp_state=rp_state,
+    )
+    np.testing.assert_allclose(np.asarray(z_src), z_src_ref.numpy(), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(z_dst), z_dst_ref.numpy(), rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("k", [2, 4, 8])
+@pytest.mark.parametrize("decay", [False, True])
+def test_tncn_predictor_parity(ref, k, decay):
+    """Dense-CN formulation vs the reference's sparse one, incl. the k=8 walk
+    corrections (reference tgm/nn/decoder/ncnpred.py:174-303)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tgm.nn.decoder.ncnpred import NCNPredictor as RefNCN
+
+    from tools.refbridge import dense_params
+    from tgm_tpu.nn.decoder.ncnpred import NCNPredictor
+
+    torch.manual_seed(k)
+    rng = np.random.default_rng(k)
+    U, E, B, D = 12, 20, 5, 4
+
+    ref_m = RefNCN(in_channels=D, hidden_dim=6, out_channels=1, k=k,
+                   cn_time_decay=decay).eval()
+    ours = NCNPredictor(in_channels=D, hidden_dim=6, out_channels=1, k=k,
+                        cn_time_decay=decay)
+
+    x = rng.normal(size=(U, D)).astype(np.float32)
+    es = rng.integers(0, U, E)
+    ed = rng.integers(0, U, E)
+    # A few duplicate edges to exercise multiplicity coalescing.
+    es[:3], ed[:3] = es[3:6], ed[3:6]
+    # Distinct query nodes per side: the reference's _sparse_sliding zeroes
+    # all but the last duplicate row (mapping[rows]=arange overwrite,
+    # ncnpred.py:40-46) — a defect we deliberately do not reproduce.
+    ti = rng.permutation(U)[:B]
+    tj = rng.permutation(U)[:B]
+    last_update = rng.integers(0, 100, U).astype(np.int64)
+    pos_t = rng.integers(100, 200, B).astype(np.int64)
+
+    with torch.no_grad():
+        out_ref = ref_m(
+            torch.from_numpy(x),
+            torch.from_numpy(np.stack([es, ed]).astype(np.int64)),
+            torch.from_numpy(np.stack([ti, tj]).astype(np.int64)),
+            last_update=torch.from_numpy(last_update) if decay else None,
+            edge_time=torch.from_numpy(pos_t) if decay else None,
+        ).numpy()
+
+    params = ours.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(es.astype(np.int32)),
+        jnp.asarray(ed.astype(np.int32)), jnp.asarray(ti.astype(np.int32)),
+        jnp.asarray(tj.astype(np.int32)),
+        last_update=jnp.asarray(last_update.astype(np.int32)) if decay else None,
+        edge_time=jnp.asarray(pos_t.astype(np.int32)) if decay else None,
+    )
+    params = {
+        "params": {
+            "xsmlp": {
+                "layers_0": dense_params(ref_m.xsmlp[0]),
+                "layers_2": dense_params(ref_m.xsmlp[2]),
+            }
+        }
+    }
+    out = ours.apply(
+        params, jnp.asarray(x), jnp.asarray(es.astype(np.int32)),
+        jnp.asarray(ed.astype(np.int32)), jnp.asarray(ti.astype(np.int32)),
+        jnp.asarray(tj.astype(np.int32)),
+        last_update=jnp.asarray(last_update.astype(np.int32)) if decay else None,
+        edge_time=jnp.asarray(pos_t.astype(np.int32)) if decay else None,
+    )
+    np.testing.assert_allclose(np.asarray(out), out_ref, rtol=2e-4, atol=2e-5)

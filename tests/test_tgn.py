@@ -144,3 +144,38 @@ def test_graph_attention_all_masked_no_nan():
     g = jax.grad(loss)(params)
     assert np.isfinite(float(val))
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree_util.tree_leaves(g))
+
+
+def test_pipeline_eid_buffer_equivalence():
+    """TGNPipeline with the eid recency buffer (features gathered from the
+    static edge_x array) must produce identical losses to the feature-buffer
+    pipeline — same math, different state layout."""
+    from tgm_tpu.data.dg_data import DGData
+    from tgm_tpu.core.graph import DGraph
+    from tgm_tpu.train import DeviceEdgeStream, TGNPipeline, jit_scan_epoch
+
+    rng = np.random.default_rng(0)
+    N, E, D, B = 40, 330, 6, 64  # last batch partial: exercises padding
+    src = rng.integers(0, N, E)
+    dst = rng.integers(0, N, E)
+    t = np.sort(rng.integers(0, 5000, E))
+    x = rng.normal(size=(E, D)).astype(np.float32)
+    data = DGData.from_raw(
+        edge_time=t, edge_index=np.stack([src, dst], 1), edge_x=x, time_delta="s"
+    )
+    dg = DGraph(data)
+    stream = DeviceEdgeStream(dg, B)
+
+    losses = {}
+    for mode, edge_x_full in (("feats", None), ("eids", stream.edge_x)):
+        pipe = TGNPipeline(
+            num_nodes=N, edge_dim=D, memory_dim=8, embed_dim=8, time_dim=6,
+            num_nbrs=5, lr=1e-3, neg_low=0, neg_high=N, edge_x_full=edge_x_full,
+        )
+        carry = pipe.init_carry(jax.random.PRNGKey(7))
+        epoch = jit_scan_epoch(pipe.train_step, stream.batch_at, stream.num_batches)
+        carry, ls = epoch(carry)
+        carry, ls2 = epoch(carry)  # second epoch: buffers warm
+        losses[mode] = np.concatenate([np.asarray(ls), np.asarray(ls2)])
+
+    np.testing.assert_allclose(losses["eids"], losses["feats"], rtol=1e-6, atol=1e-6)

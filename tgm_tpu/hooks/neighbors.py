@@ -216,6 +216,150 @@ def recency_update(
 
 
 # ---------------------------------------------------------------------- #
+# Eid-buffer variant: store edge IDS, gather features from static edge_x.
+#
+# The feature-buffer layout above carries an (N, B, D) float array through the
+# scan; XLA's layout assignment re-copies that whole buffer every step
+# (~15% of the TGN epoch at wiki shapes on v5e). Storing the int32 edge id per
+# slot instead shrinks the carried state ~170x; features are gathered from the
+# split's static edge_x array only for the selected windows.
+# ---------------------------------------------------------------------- #
+def recency_eid_init(
+    num_nodes: int, buf_size: int, row_multiple: int = 1
+) -> Tuple[jnp.ndarray, ...]:
+    """State: (>=N+1, B) id/time/edge-id buffers + write positions."""
+    n = num_nodes + 1
+    if row_multiple > 1:
+        n = -(-n // row_multiple) * row_multiple
+    return (
+        jnp.full((n, buf_size), PADDED_NODE_ID, dtype=jnp.int32),
+        jnp.zeros((n, buf_size), dtype=jnp.int32),
+        jnp.full((n, buf_size), -1, dtype=jnp.int32),
+        jnp.zeros((n,), dtype=jnp.int32),
+    )
+
+
+def recency_eid_query(
+    state: Tuple[jnp.ndarray, ...],
+    seeds: jnp.ndarray,
+    seed_times: jnp.ndarray,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """K most recent (nbr_id, time, edge_id) per seed strictly before its time."""
+    nbr_ids, nbr_times, nbr_eids, write_pos = state
+    N1, B = nbr_ids.shape
+    num_nodes = N1 - 1
+
+    seed_ok = (seeds >= 0) & (seeds < num_nodes)
+    rows = jnp.where(seed_ok, seeds, num_nodes)
+
+    if _pallas_enabled():
+        from ..ops.pallas.recency_select import recency_window_select_eid
+
+        return recency_window_select_eid(
+            nbr_ids[rows], nbr_times[rows], nbr_eids[rows],
+            write_pos[rows], seed_times, k=k,
+        )
+
+    buf_ids = nbr_ids[rows]  # (S, B)
+    buf_times = nbr_times[rows]
+    wp = write_pos[rows]
+
+    cand_idx = (wp[:, None] - jnp.arange(B, 0, -1)[None, :]) % B  # (S, B)
+    cand_times = jnp.take_along_axis(buf_times, cand_idx, axis=1)
+    cand_ids = jnp.take_along_axis(buf_ids, cand_idx, axis=1)
+    tmask = (cand_times < seed_times[:, None]) & (cand_ids != PADDED_NODE_ID)
+    tmask &= seed_ok[:, None]
+
+    pos = jnp.arange(B)[None, :]
+    last_valid = jnp.where(tmask.any(axis=1), jnp.max(tmask * pos, axis=1), -1)
+
+    offset = jnp.arange(k - 1, -1, -1)[None, :]
+    gather_pos = jnp.maximum(last_valid[:, None] - offset, -1)
+    out_idx = jnp.where(
+        gather_pos >= 0,
+        jnp.take_along_axis(cand_idx, jnp.maximum(gather_pos, 0), axis=1),
+        -1,
+    )
+    valid = out_idx >= 0
+    safe = jnp.maximum(out_idx, 0)
+
+    out_nbrs = jnp.where(valid, jnp.take_along_axis(buf_ids, safe, axis=1), PADDED_NODE_ID)
+    out_times = jnp.where(valid, jnp.take_along_axis(buf_times, safe, axis=1), 0)
+    out_eids = jnp.where(valid, jnp.take_along_axis(nbr_eids[rows], safe, axis=1), -1)
+    return out_nbrs, out_times, out_eids
+
+
+def gather_edge_feats(edge_x: Optional[jnp.ndarray], eids: jnp.ndarray) -> jnp.ndarray:
+    """Features of selected edges; eid -1 (padding) yields zero rows."""
+    if edge_x is None:
+        return jnp.zeros(eids.shape + (0,), jnp.float32)
+    valid = eids >= 0
+    rows = jnp.clip(eids, 0, edge_x.shape[0] - 1)
+    return jnp.where(valid[..., None], edge_x[rows], 0.0)
+
+
+def recency_eid_update(
+    state: Tuple[jnp.ndarray, ...],
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    time: jnp.ndarray,
+    eids: jnp.ndarray,
+    valid: Optional[jnp.ndarray],
+    directed: bool,
+) -> Tuple[jnp.ndarray, ...]:
+    """Push a batch of edge events (by edge id) into the circular buffers."""
+    nbr_ids, nbr_times, nbr_eids, write_pos = state
+    N1, B = nbr_ids.shape
+    num_nodes = N1 - 1
+
+    if valid is None:
+        valid = jnp.ones(src.shape[0], dtype=bool)
+
+    if directed:
+        nodes, nbrs, t, e, v = src, dst, time, eids, valid
+    else:
+        nodes = jnp.concatenate([src, dst])
+        nbrs = jnp.concatenate([dst, src])
+        t = jnp.concatenate([time, time])
+        e = jnp.concatenate([eids, eids])
+        v = jnp.concatenate([valid, valid])
+
+    nodes = jnp.where(v, nodes, num_nodes)
+
+    p1 = jnp.argsort(t, stable=True)
+    p2 = jnp.argsort(nodes[p1], stable=True)
+    perm = p1[p2]
+    s_nodes, s_nbrs, s_t, s_e = nodes[perm], nbrs[perm], t[perm], e[perm]
+
+    E = s_nodes.shape[0]
+    idx = jnp.arange(E)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), s_nodes[1:] != s_nodes[:-1]])
+    group_start = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, idx, -1))
+    pos_in_group = idx - group_start
+    cnt = jax.ops.segment_sum(jnp.ones_like(s_nodes), s_nodes, num_segments=N1)
+    cnt_elem = cnt[s_nodes]
+    keep = pos_in_group >= (cnt_elem - B)
+
+    kept_offset = pos_in_group - jnp.maximum(cnt_elem - B, 0)
+    write_idx = (write_pos[s_nodes] + kept_offset) % B
+
+    rows = jnp.where(keep, s_nodes, num_nodes)
+    cols = jnp.where(keep, write_idx, 0)
+    nbr_ids = nbr_ids.at[rows, cols].set(s_nbrs, mode="drop")
+    nbr_times = nbr_times.at[rows, cols].set(s_t.astype(jnp.int32), mode="drop")
+    nbr_eids = nbr_eids.at[rows, cols].set(s_e.astype(jnp.int32), mode="drop")
+
+    bump = jax.ops.segment_sum(keep.astype(jnp.int32), s_nodes, num_segments=N1)
+    write_pos = write_pos + bump
+    nbr_ids = nbr_ids.at[num_nodes].set(PADDED_NODE_ID)
+    nbr_times = nbr_times.at[num_nodes].set(0)
+    nbr_eids = nbr_eids.at[num_nodes].set(-1)
+    write_pos = write_pos.at[num_nodes].set(0)
+    return nbr_ids, nbr_times, nbr_eids, write_pos
+
+
+# ---------------------------------------------------------------------- #
 # Hooks
 # ---------------------------------------------------------------------- #
 class _NeighborHookBase(SeedableHook, StatefulHook):

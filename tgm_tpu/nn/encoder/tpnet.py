@@ -216,16 +216,22 @@ class TPNet(nn.Module):
         parts = [nbr_feat, t_feat, neighbours_edge_feat]
         if self.random_projections is not None:
             assert rp_state is not None, "rp_state required when random_projections set"
-            seeds = jnp.concatenate([edge_src, edge_dst])  # (2B,)
-            nbr_flat = neighbours.reshape(-1)
-            seed_rep = jnp.repeat(seeds, K)
-            f1 = self.random_projections(rp_state, nbr_flat, seed_rep)
-            f2 = self.random_projections(rp_state, seed_rep, nbr_flat)
-            rp_feat = jnp.concatenate([f1, f2], axis=1).reshape(2 * B, K, -1)
+            # Reference wiring (tpnet.py:365-384): every neighbor (on either
+            # side) is paired with BOTH endpoints of its edge —
+            # [rp(nbr, src_seed) ‖ rp(nbr, dst_seed)].
+            nbr_flat = neighbours.reshape(-1)  # (2B*K,)
+            src2 = jnp.repeat(jnp.concatenate([edge_src, edge_src]), K)
+            dst2 = jnp.repeat(jnp.concatenate([edge_dst, edge_dst]), K)
+            f_src = self.random_projections(rp_state, nbr_flat, src2)
+            f_dst = self.random_projections(rp_state, nbr_flat, dst2)
+            rp_feat = jnp.concatenate([f_src, f_dst], axis=1).reshape(2 * B, K, -1)
             parts.append(rp_feat)
 
         h = jnp.concatenate(parts, axis=2)
         h = self.proj_out(nn.relu(self.proj_hidden(h)))
+        # Documented divergence: the reference's masked_fill (tpnet.py:404) is
+        # non-in-place with its result discarded, so padded rows leak biased
+        # embeddings into the mean there; we zero them as clearly intended.
         h = jnp.where(pad, 0.0, h)
         for mixer in self.mlp_mixers:
             h = mixer(h, deterministic=deterministic)

@@ -74,6 +74,94 @@ def _kernel(qt_ref, wp_ref, ids_ref, times_ref, feats_ref,
         out_feats_ref[:, kk, :] = jnp.sum(sel * feats, axis=1)
 
 
+def _kernel_eid(qt_ref, wp_ref, ids_ref, times_ref, eids_ref,
+                out_ids_ref, out_times_ref, out_eids_ref, *, K: int):
+    """Integer-only window select: ids/times/edge-ids, no feature payload.
+
+    Used by the eid-buffer recency layout where edge features live in the
+    static edge_x array and are gathered AFTER selection — this removes the
+    (N, B, D) feature buffer from the scan carry entirely (the per-step
+    layout copy of that buffer was ~15% of the TGN epoch on v5e).
+    """
+    ids = ids_ref[...]  # (SB, B)
+    times = times_ref[...]
+    eids = eids_ref[...]
+    SB, B = ids.shape
+
+    wp = wp_ref[..., 0]
+    qt = qt_ref[..., 0]
+
+    slot = jax.lax.broadcasted_iota(jnp.int32, (SB, B), 1)
+    age = (wp[:, None] - 1 - slot) % B  # 0 = newest
+    valid = (times < qt[:, None]) & (ids != PADDED_NODE_ID)
+
+    more_recent = (age[:, None, :] < age[:, :, None]) & valid[:, None, :]
+    rank = jnp.sum(more_recent.astype(jnp.int32), axis=2)  # (SB, B)
+
+    selected = valid & (rank < K)
+    col = jnp.where(selected, K - 1 - rank, -1)
+    kcols = jax.lax.broadcasted_iota(jnp.int32, (SB, B, K), 2)
+    onehot_i = (col[:, :, None] == kcols).astype(jnp.int32)  # (SB, B, K)
+
+    picked = jnp.sum(onehot_i, axis=1) > 0  # (SB, K)
+    sel_ids = jnp.sum(onehot_i * ids[:, :, None], axis=1)
+    sel_times = jnp.sum(onehot_i * times[:, :, None], axis=1)
+    sel_eids = jnp.sum(onehot_i * eids[:, :, None], axis=1)
+    out_ids_ref[...] = jnp.where(picked, sel_ids, PADDED_NODE_ID)
+    out_times_ref[...] = jnp.where(picked, sel_times, 0)
+    out_eids_ref[...] = jnp.where(picked, sel_eids, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block", "interpret"))
+def recency_window_select_eid(
+    ids: jnp.ndarray,  # (S, B) int32 buffer rows (pre-gathered per seed)
+    times: jnp.ndarray,  # (S, B) int32
+    eids: jnp.ndarray,  # (S, B) int32 edge ids
+    write_pos: jnp.ndarray,  # (S,) int32
+    query_times: jnp.ndarray,  # (S,) int32
+    k: int,
+    block: int = 128,
+    interpret: bool = False,
+):
+    """Select each seed's K most recent (id, time, edge-id) before its time."""
+    S, B = ids.shape
+    if S % block != 0:
+        pad = block - S % block
+        ids = jnp.pad(ids, ((0, pad), (0, 0)), constant_values=PADDED_NODE_ID)
+        times = jnp.pad(times, ((0, pad), (0, 0)))
+        eids = jnp.pad(eids, ((0, pad), (0, 0)), constant_values=-1)
+        write_pos = jnp.pad(write_pos, (0, pad))
+        query_times = jnp.pad(query_times, (0, pad))
+    Sp = ids.shape[0]
+    grid = (Sp // block,)
+
+    row = lambda i: (i, 0)
+    out = pl.pallas_call(
+        functools.partial(_kernel_eid, K=k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, 1), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, B), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, B), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, B), row, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, k), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, k), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, k), row, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Sp, k), jnp.int32),
+            jax.ShapeDtypeStruct((Sp, k), jnp.int32),
+            jax.ShapeDtypeStruct((Sp, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(query_times[:, None], write_pos[:, None], ids, times, eids)
+    out_ids, out_times, out_eids = out
+    return out_ids[:S], out_times[:S], out_eids[:S]
+
+
 @functools.partial(jax.jit, static_argnames=("k", "block", "interpret"))
 def recency_window_select(
     ids: jnp.ndarray,  # (S, B) int32 buffer rows (pre-gathered per seed)

@@ -52,6 +52,11 @@ class DeviceEdgeStream:
             counts[-1] = batch_size - pad
         self._counts = jnp.asarray(counts)
 
+    @property
+    def edge_x(self) -> Optional[jnp.ndarray]:
+        """The split's full device-resident edge feature array (padded)."""
+        return self._edge_x
+
     def batch_at(self, i: jnp.ndarray) -> DGBatch:
         """Materialize batch ``i`` on device (traceable; ``i`` may be traced)."""
         B = self.batch_size
@@ -65,6 +70,10 @@ class DeviceEdgeStream:
             edge_time=jnp.where(valid, sl(self._t), 0),
             edge_valid=valid,
         )
+        # Global edge ids of this window (-1 on padded rows): lets consumers
+        # reference rows of split-wide static arrays (e.g. the eid-buffer
+        # recency layout gathers features from edge_x by id at query time).
+        batch.edge_ids = jnp.where(valid, start + jnp.arange(B, dtype=jnp.int32), -1)
         if self._edge_x is not None:
             batch.edge_x = jnp.where(
                 valid[:, None], lax.dynamic_slice_in_dim(self._edge_x, start, B), 0.0

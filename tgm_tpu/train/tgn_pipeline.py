@@ -22,7 +22,15 @@ import optax
 
 from ..constants import PADDED_NODE_ID
 from ..core.batch import DGBatch
-from ..hooks.neighbors import recency_init, recency_query, recency_update
+from ..hooks.neighbors import (
+    gather_edge_feats,
+    recency_eid_init,
+    recency_eid_query,
+    recency_eid_update,
+    recency_init,
+    recency_query,
+    recency_update,
+)
 from ..nn.decoder import LinkPredictor
 from ..nn.encoder.tgn import (
     GraphAttentionEmbedding,
@@ -60,9 +68,16 @@ class TGNPipeline:
         dropout: float = 0.0,
         state_row_multiple: int = 1,
         rowwise: bool = True,
+        edge_x_full: Any = None,
     ) -> None:
         self.num_nodes = num_nodes
         self.state_row_multiple = state_row_multiple
+        # eid-buffer recency: carry int32 edge ids in the ring buffers and
+        # gather features from this split-wide static array at query time —
+        # removes the (N, K, D) feature buffer (and its per-step layout copy)
+        # from the scan carry. Requires batches with ``edge_ids``
+        # (DeviceEdgeStream provides them).
+        self.edge_x_full = edge_x_full
         # rowwise=True uses the dense per-seed attention (no segment scatters,
         # no dedup) — the TPU speed-of-light layout; rowwise=False keeps the
         # reference example's dedup + segment-softmax subgraph aggregation.
@@ -96,9 +111,14 @@ class TGNPipeline:
         mem_state = tgn_init_state(
             self.num_nodes, self.memory_dim, self.edge_dim, self.state_row_multiple
         )
-        rec_state = recency_init(
-            self.num_nodes, self.num_nbrs, self.edge_dim, self.state_row_multiple
-        )
+        if self.edge_x_full is not None:
+            rec_state = recency_eid_init(
+                self.num_nodes, self.num_nbrs, self.state_row_multiple
+            )
+        else:
+            rec_state = recency_init(
+                self.num_nodes, self.num_nbrs, self.edge_dim, self.state_row_multiple
+            )
         mem_params = self.memory.init(k1, mem_state, jnp.zeros(4, jnp.int32))
         if self.rowwise:
             enc_params = self.encoder.init(
@@ -136,7 +156,11 @@ class TGNPipeline:
 
         seeds = jnp.concatenate([batch.edge_src, batch.edge_dst, neg])
         seed_t = jnp.concatenate([batch.edge_time, batch.edge_time, neg_time])
-        nbr_ids, nbr_t, nbr_x = recency_query(rec_state, seeds, seed_t, K)
+        if self.edge_x_full is not None:
+            nbr_ids, nbr_t, nbr_e = recency_eid_query(rec_state, seeds, seed_t, K)
+            nbr_x = gather_edge_feats(self.edge_x_full, nbr_e)
+        else:
+            nbr_ids, nbr_t, nbr_x = recency_query(rec_state, seeds, seed_t, K)
 
         if self.rowwise:
             S = seeds.shape[0]
@@ -210,6 +234,9 @@ class TGNPipeline:
         rng, k_neg = jax.random.split(rng)
         B = batch.edge_src.shape[0]
         neg = jax.random.randint(k_neg, (B,), self.neg_low, self.neg_high, dtype=jnp.int32)
+        if batch.edge_valid is not None:
+            # Padded rows must not inject live seeds into the batch subgraph.
+            neg = jnp.where(batch.edge_valid, neg, PADDED_NODE_ID)
         neg_time = batch.edge_time
 
         def loss_fn(p):
@@ -232,10 +259,16 @@ class TGNPipeline:
             mem_state, batch.edge_src, batch.edge_dst, batch.edge_time,
             self._raw_msg(batch), batch.edge_valid,
         )
-        rec_state = recency_update(
-            rec_state, batch.edge_src, batch.edge_dst, batch.edge_time,
-            batch.edge_x, batch.edge_valid, directed=False,
-        )
+        if self.edge_x_full is not None:
+            rec_state = recency_eid_update(
+                rec_state, batch.edge_src, batch.edge_dst, batch.edge_time,
+                batch.edge_ids, batch.edge_valid, directed=False,
+            )
+        else:
+            rec_state = recency_update(
+                rec_state, batch.edge_src, batch.edge_dst, batch.edge_time,
+                batch.edge_x, batch.edge_valid, directed=False,
+            )
 
         # Per-leaf adam; a fused flat-vector variant measured ~3% slower on
         # v5e (the ravel/unravel copies outweigh the op-count savings).

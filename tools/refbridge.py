@@ -261,6 +261,98 @@ def graph_attn_params(ref_enc) -> dict:
     }
 
 
+def layernorm_params(ln: torch.nn.LayerNorm) -> dict:
+    return {"scale": t2n(ln.weight), "bias": t2n(ln.bias)}
+
+
+def mha_params(mha: torch.nn.MultiheadAttention, num_heads: int) -> dict:
+    """torch MultiheadAttention -> flax MultiHeadDotProductAttention params.
+
+    torch packs q/k/v into in_proj_weight rows; flax splits heads into the
+    trailing (H, head_dim) axes with head-major concat order — identical math.
+    """
+    E = mha.embed_dim
+    hd = E // num_heads
+    w = t2n(mha.in_proj_weight)
+    b = t2n(mha.in_proj_bias)
+
+    def proj(wx, bx):
+        return {"kernel": wx.T.reshape(E, num_heads, hd),
+                "bias": bx.reshape(num_heads, hd)}
+
+    return {
+        "query": proj(w[:E], b[:E]),
+        "key": proj(w[E : 2 * E], b[E : 2 * E]),
+        "value": proj(w[2 * E :], b[2 * E :]),
+        "out": {
+            "kernel": t2n(mha.out_proj.weight).T.reshape(num_heads, hd, E),
+            "bias": t2n(mha.out_proj.bias),
+        },
+    }
+
+
+def dygformer_params(ref, num_heads: int) -> dict:
+    """Reference DyGFormer (tgm/nn/encoder/dygformer.py:146-444) -> ours."""
+    seq = ref.co_occurrence_encoder.neighbor_co_occurrence_encoder
+    linears = [m for m in seq if isinstance(m, torch.nn.Linear)]
+    out = {
+        "time_encoder": time2vec_params(ref.time_encoder),
+        "co_occurrence_encoder": {
+            f"Dense_{i}": dense_params(lin) for i, lin in enumerate(linears)
+        },
+        "proj_node": dense_params(ref.projection_layer["node"]),
+        "proj_edge": dense_params(ref.projection_layer["edge"]),
+        "proj_time": dense_params(ref.projection_layer["time"]),
+        "proj_cooc": dense_params(ref.projection_layer["neighbor_co_occurrence"]),
+        "output_layer": dense_params(ref.output_layer),
+    }
+    for i, tr in enumerate(ref.transformers):
+        out[f"transformers_{i}"] = {
+            "LayerNorm_0": layernorm_params(tr.norm_layers[0]),
+            "LayerNorm_1": layernorm_params(tr.norm_layers[1]),
+            "MultiHeadDotProductAttention_0": mha_params(
+                tr.multi_head_attention, num_heads
+            ),
+            "Dense_0": dense_params(tr.linear_layers[0]),
+            "Dense_1": dense_params(tr.linear_layers[1]),
+        }
+    return {"params": out}
+
+
+def mlp_mixer_params(ref_mixer) -> dict:
+    """Reference MLPMixer (tgm/nn/modules/mlp_mixer.py:5-100) -> ours."""
+    return {
+        "LayerNorm_0": layernorm_params(ref_mixer.token_norm),
+        "LayerNorm_1": layernorm_params(ref_mixer.channel_norm),
+        "FeedForwardNet_0": {
+            "Dense_0": dense_params(ref_mixer.token_feedforward.ffn[0]),
+            "Dense_1": dense_params(ref_mixer.token_feedforward.ffn[3]),
+        },
+        "FeedForwardNet_1": {
+            "Dense_0": dense_params(ref_mixer.channel_feedforward.ffn[0]),
+            "Dense_1": dense_params(ref_mixer.channel_feedforward.ffn[3]),
+        },
+    }
+
+
+def tpnet_params(ref) -> dict:
+    """Reference TPNet + RandomProjectionModule (tgm/nn/encoder/tpnet.py) -> ours."""
+    out = {
+        "time_encoder": time2vec_params(ref.time_encoder),
+        "proj_hidden": dense_params(ref.projection_layer[0]),
+        "proj_out": dense_params(ref.projection_layer[2]),
+    }
+    for i, mixer in enumerate(ref.mlp_mixers):
+        out[f"mlp_mixers_{i}"] = mlp_mixer_params(mixer)
+    if ref.random_projections is not None:
+        rp = ref.random_projections
+        out["random_projections"] = {
+            "Dense_0": dense_params(rp.mlp[0]),
+            "Dense_1": dense_params(rp.mlp[2]),
+        }
+    return {"params": out}
+
+
 def link_predictor_params(ref_dec) -> dict:
     """Reference LinkPredictor (2-layer MLP over concat) -> ours."""
     linears = [m for m in ref_dec.model if isinstance(m, torch.nn.Linear)]
