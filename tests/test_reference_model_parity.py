@@ -179,6 +179,143 @@ def test_tpnet_forward_parity(ref):
     np.testing.assert_allclose(np.asarray(z_dst), z_dst_ref.numpy(), rtol=2e-4, atol=2e-5)
 
 
+def test_ctan_forward_parity(ref):
+    """AntiSymmetricConv(TransformerConv phi) propagation vs the reference
+    (tgm/nn/encoder/ctan.py:28-79; PyG AntiSymmetricConv via the functional
+    stub in tools/refbridge.py)."""
+    import jax.numpy as jnp
+
+    from tgm.nn.encoder import CTAN as RefCTAN
+
+    from tools.refbridge import ctan_params
+    from tgm_tpu.nn.encoder.ctan import CTAN
+
+    torch.manual_seed(3)
+    rng = np.random.default_rng(3)
+    U, E, ED, MD, TD, ND = 10, 18, 4, 8, 6, 3
+
+    ref_m = RefCTAN(edge_dim=ED, memory_dim=MD, time_dim=TD, node_dim=ND,
+                    num_iters=2, mean_delta_t=5.0, std_delta_t=2.0,
+                    epsilon=0.2, gamma=0.15).eval()
+    ours = CTAN(edge_dim=ED, memory_dim=MD, time_dim=TD, node_dim=ND,
+                num_iters=2, mean_delta_t=5.0, std_delta_t=2.0,
+                epsilon=0.2, gamma=0.15)
+
+    node_x = rng.normal(size=(U, MD + ND)).astype(np.float32)
+    last_update = rng.integers(0, 60, U).astype(np.int64)
+    es = rng.integers(0, U, E)
+    ed = rng.integers(0, U, E)
+    t = rng.integers(0, 60, E).astype(np.int64)
+    msg = rng.normal(size=(E, ED)).astype(np.float32)
+
+    with torch.no_grad():
+        z_ref = ref_m(
+            torch.from_numpy(node_x),
+            torch.from_numpy(last_update),
+            torch.from_numpy(np.stack([es, ed]).astype(np.int64)),
+            torch.from_numpy(t),
+            torch.from_numpy(msg),
+        ).numpy()
+
+    params = ctan_params(ref_m)
+    z = ours.apply(
+        params, jnp.asarray(node_x), jnp.asarray(last_update.astype(np.int32)),
+        jnp.asarray(es.astype(np.int32)), jnp.asarray(ed.astype(np.int32)),
+        jnp.asarray(t.astype(np.int32)), jnp.asarray(msg),
+    )
+    np.testing.assert_allclose(np.asarray(z), z_ref, rtol=2e-4, atol=2e-5)
+
+
+def test_ctan_memory_stream_parity(ref):
+    import jax.numpy as jnp
+
+    from tgm.nn.encoder import CTANMemory as RefMem, LastAggregator
+
+    from tgm_tpu.nn.encoder.ctan import ctan_memory_init, ctan_memory_update
+
+    torch.manual_seed(4)
+    rng = np.random.default_rng(4)
+    N, MD = 12, 5
+    ref_mem = RefMem(N, MD, aggr_module=LastAggregator(), init_time=0)
+    state = ctan_memory_init(N, MD, init_time=0)
+
+    t_cur = 1
+    for step in range(4):
+        B = 6
+        src = rng.integers(0, N, B).astype(np.int64)
+        dst = (src + 1 + rng.integers(0, N - 1, B)).astype(np.int64) % N
+        t = np.arange(t_cur, t_cur + B).astype(np.int64)  # distinct times
+        t_cur += B
+        se = rng.normal(size=(B, MD)).astype(np.float32)
+        de = rng.normal(size=(B, MD)).astype(np.float32)
+        ref_mem.update_state(
+            torch.from_numpy(src), torch.from_numpy(dst), torch.from_numpy(t),
+            torch.from_numpy(se), torch.from_numpy(de),
+        )
+        state = ctan_memory_update(
+            state, jnp.asarray(src, jnp.int32), jnp.asarray(dst, jnp.int32),
+            jnp.asarray(t, jnp.int32), jnp.asarray(se), jnp.asarray(de),
+        )
+        np.testing.assert_allclose(
+            np.asarray(state.memory[:N]), ref_mem.memory.numpy(), atol=1e-6,
+            err_msg=f"memory step {step}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(state.last_update[:N]), ref_mem.last_update.numpy()
+        )
+
+
+def test_tgcn_snapshot_recurrence_parity(ref):
+    """Snapshot model parity: TGCN (GCNConv-gated GRU cell,
+    tgm/nn/encoder/tgcn.py:8-157) with the hidden state carried across
+    several weighted snapshots."""
+    import jax.numpy as jnp
+
+    from tgm.nn.encoder import TGCN as RefTGCN
+
+    from tools.refbridge import dense_params, gcn_conv_params
+    from tgm_tpu.nn.encoder.tgcn import TGCN
+
+    torch.manual_seed(5)
+    rng = np.random.default_rng(5)
+    N, E, IN, OUT = 9, 14, 4, 6
+
+    ref_m = RefTGCN(in_channels=IN, out_channels=OUT).eval()
+    ours = TGCN(in_channels=IN, out_channels=OUT)
+    params = {
+        "params": {
+            "conv_u": gcn_conv_params(ref_m.conv_u),
+            "conv_r": gcn_conv_params(ref_m.conv_r),
+            "conv_c": gcn_conv_params(ref_m.conv_c),
+            "linear_u": dense_params(ref_m.linear_u),
+            "linear_r": dense_params(ref_m.linear_r),
+            "linear_c": dense_params(ref_m.linear_c),
+        }
+    }
+
+    H_ref, H = None, None
+    for step in range(3):
+        x = rng.normal(size=(N, IN)).astype(np.float32)
+        es = rng.integers(0, N, E)
+        ed = rng.integers(0, N, E)
+        w = rng.random(E).astype(np.float32) + 0.5
+        with torch.no_grad():
+            H_ref = ref_m(
+                torch.from_numpy(x),
+                torch.from_numpy(np.stack([es, ed]).astype(np.int64)),
+                torch.from_numpy(w),
+                H_ref,
+            )
+        H = ours.apply(
+            params, jnp.asarray(x), jnp.asarray(es.astype(np.int32)),
+            jnp.asarray(ed.astype(np.int32)), jnp.asarray(w), H,
+        )
+        np.testing.assert_allclose(
+            np.asarray(H), H_ref.numpy(), rtol=2e-5, atol=2e-6,
+            err_msg=f"snapshot {step}",
+        )
+
+
 @pytest.mark.parametrize("k", [2, 4, 8])
 @pytest.mark.parametrize("decay", [False, True])
 def test_tncn_predictor_parity(ref, k, decay):

@@ -67,11 +67,12 @@ class TransformerConv(torch.nn.Module):
         concat: bool = True,
     ) -> None:
         super().__init__()
-        assert concat and root_weight, "stub supports the reference's usage only"
+        assert concat, "stub supports concat=True only"
         self.in_channels = in_channels
         self.out_channels = out_channels  # per-head width, as in PyG
         self.heads = heads
         self.dropout = dropout
+        self.root_weight = root_weight
         H, C = heads, out_channels
         self.lin_key = torch.nn.Linear(in_channels, H * C)
         self.lin_query = torch.nn.Linear(in_channels, H * C)
@@ -79,7 +80,9 @@ class TransformerConv(torch.nn.Module):
         self.lin_edge = (
             torch.nn.Linear(edge_dim, H * C, bias=False) if edge_dim else None
         )
-        self.lin_skip = torch.nn.Linear(in_channels, H * C, bias=bias)
+        self.lin_skip = (
+            torch.nn.Linear(in_channels, H * C, bias=bias) if root_weight else None
+        )
 
     def forward(
         self,
@@ -107,7 +110,10 @@ class TransformerConv(torch.nn.Module):
         out.scatter_add_(
             0, dst.view(-1, 1, 1).expand(-1, H, C), v * alpha.unsqueeze(-1)
         )
-        return out.view(N, H * C) + self.lin_skip(x)
+        out = out.view(N, H * C)
+        if self.lin_skip is not None:
+            out = out + self.lin_skip(x)
+        return out
 
 
 # --------------------------------------------------------------------------- #
@@ -142,6 +148,83 @@ def pyg_scatter(src, index, dim=0, dim_size=None, reduce="sum"):
     return out
 
 
+class GCNConv(torch.nn.Module):
+    """Functional stub of torch_geometric.nn.GCNConv (gcn_norm semantics):
+    D^-1/2 (A + cI) D^-1/2 X W + b with c=1 (2 when improved), degree taken
+    over edge_index[1] including self loops."""
+
+    def __init__(self, in_channels, out_channels, improved=False, cached=False,
+                 add_self_loops=True, normalize=True, bias=True):
+        super().__init__()
+        assert normalize
+        self.improved = improved
+        self.add_self_loops = add_self_loops
+        self.lin = torch.nn.Linear(in_channels, out_channels, bias=False)
+        self.bias = torch.nn.Parameter(torch.zeros(out_channels)) if bias else None
+
+    def forward(self, x, edge_index, edge_weight=None):
+        N = x.size(0)
+        src, dst = edge_index[0].long(), edge_index[1].long()
+        w = (
+            edge_weight.float()
+            if edge_weight is not None
+            else torch.ones(src.numel(), dtype=x.dtype)
+        )
+        c = (2.0 if self.improved else 1.0) if self.add_self_loops else 0.0
+        deg = torch.zeros(N, dtype=x.dtype).scatter_add_(0, dst, w) + c
+        dis = deg.pow(-0.5)
+        dis[torch.isinf(dis)] = 0.0
+        h = self.lin(x)
+        norm = dis[src] * w * dis[dst]
+        out = torch.zeros_like(h).scatter_add_(
+            0, dst.view(-1, 1).expand(-1, h.size(1)), h[src] * norm[:, None]
+        )
+        out = out + h * (c * dis * dis)[:, None]
+        if self.bias is not None:
+            out = out + self.bias
+        return out
+
+
+def gcn_conv_params(conv) -> dict:
+    """GCNConv stub -> our tgm_tpu GCNConv param dict."""
+    out = {"Dense_0": {"kernel": t2n(conv.lin.weight).T}}
+    if conv.bias is not None:
+        out["bias"] = t2n(conv.bias)
+    return out
+
+
+class AntiSymmetricConv(torch.nn.Module):
+    """Functional stub of torch_geometric.nn.AntiSymmetricConv.
+
+    x <- x + eps * act((W - W^T - gamma I) x + phi(x, E, edge_attr) + b),
+    iterated ``num_iters`` times with shared weights (Gravina et al., 2023 —
+    the formulation our tgm_tpu/nn/encoder/ctan.py:52-96 implements too).
+    """
+
+    def __init__(self, in_channels, phi, num_iters=1, epsilon=0.1, gamma=0.1,
+                 act="tanh", act_kwargs=None, bias=True):
+        super().__init__()
+        assert act == "tanh"
+        self.phi = phi
+        self.num_iters = num_iters
+        self.epsilon = epsilon
+        self.gamma = gamma
+        self.W = torch.nn.Parameter(torch.empty(in_channels, in_channels))
+        torch.nn.init.kaiming_uniform_(self.W, a=math.sqrt(5))
+        self.register_buffer("eye", torch.eye(in_channels))
+        self.bias = torch.nn.Parameter(torch.zeros(in_channels)) if bias else None
+
+    def forward(self, x, edge_index, edge_attr=None):
+        aW = self.W - self.W.t() - self.gamma * self.eye
+        for _ in range(self.num_iters):
+            h = self.phi(x, edge_index, edge_attr)
+            h = x @ aW.t() + h
+            if self.bias is not None:
+                h = h + self.bias
+            x = x + self.epsilon * torch.tanh(h)
+        return x
+
+
 def stub_pyg() -> None:
     """Install the torch_geometric stub into sys.modules (idempotent)."""
     if "torch_geometric" in sys.modules:
@@ -153,9 +236,11 @@ def stub_pyg() -> None:
     models = types.ModuleType("torch_geometric.nn.models")
     models_tgn = types.ModuleType("torch_geometric.nn.models.tgn")
 
-    for name in ("GCNConv", "ChebConv", "AntiSymmetricConv", "Linear"):
+    for name in ("ChebConv", "Linear"):
         setattr(nn, name, type(name, (_Unused,), {}))
     nn.TransformerConv = TransformerConv
+    nn.AntiSymmetricConv = AntiSymmetricConv
+    nn.GCNConv = GCNConv
     utils.scatter = pyg_scatter
 
     def glorot(x):
@@ -317,6 +402,30 @@ def dygformer_params(ref, num_heads: int) -> dict:
             "Dense_1": dense_params(tr.linear_layers[1]),
         }
     return {"params": out}
+
+
+def time_encoder_params(te) -> dict:
+    """PyG-style TimeEncoder stub (cos(lin(t))) -> our Time2Vec params."""
+    return {"w": t2n(te.lin.weight).T, "b": t2n(te.lin.bias)}
+
+
+def ctan_params(ref) -> dict:
+    """Reference CTAN (tgm/nn/encoder/ctan.py:28-79) -> ours."""
+    conv = ref.aconv.phi
+    return {
+        "params": {
+            "time_enc": time_encoder_params(ref.time_enc),
+            "enc_x": dense_params(ref.enc_x),
+            "phi": {
+                "Dense_0": dense_params(conv.lin_edge),
+                "Dense_1": dense_params(conv.lin_query),
+                "Dense_2": dense_params(conv.lin_key),
+                "Dense_3": dense_params(conv.lin_value),
+            },
+            "W": t2n(ref.aconv.W),
+            "b": t2n(ref.aconv.bias),
+        }
+    }
 
 
 def mlp_mixer_params(ref_mixer) -> dict:
