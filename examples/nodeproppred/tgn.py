@@ -10,7 +10,6 @@ from __future__ import annotations
 import argparse
 import sys
 import time
-from functools import partial
 from pathlib import Path
 
 import jax
@@ -42,6 +41,10 @@ def main():
     p.add_argument("--embed-dim", type=int, default=64)
     p.add_argument("--memory-dim", type=int, default=64)
     p.add_argument("--num-classes", type=int, default=10)
+    p.add_argument(
+        "--eager", action="store_true",
+        help="per-batch host loop instead of the default scanned epochs",
+    )
     args = p.parse_args()
     seed_everything(args.seed)
 
@@ -114,8 +117,12 @@ def main():
             mem_state, batch.edge_src, batch.edge_dst, batch.edge_time, raw, batch.edge_valid
         )
 
-    @partial(jax.jit, donate_argnums=(1, 2))
-    def train_step(params, opt_state, mem_state, batch):
+    def train_core(carry, batch):
+        """Pure train transition; label-less batches only advance memory (the
+        optimizer step is masked out, matching the eager skip semantics)."""
+        params, opt_state, mem_state = carry
+        has = jnp.any(batch.node_y_valid)
+
         def loss_fn(p):
             logits = encode(p, mem_state, batch)
             loss = optax.softmax_cross_entropy(logits, batch.node_y)
@@ -124,38 +131,69 @@ def main():
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         mem_state = commit(params, mem_state, batch)
-        updates, opt_state = opt.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, mem_state, loss
+        updates, opt_state2 = opt.update(grads, opt_state)
+        params2 = optax.apply_updates(params, updates)
+        keep = lambda new, old: jax.tree_util.tree_map(
+            lambda a, b: jnp.where(has, a, b), new, old
+        )
+        return (keep(params2, params), keep(opt_state2, opt_state), mem_state), (
+            jnp.where(has, loss, 0.0), has,
+        )
 
-    @partial(jax.jit, donate_argnums=(1,))
-    def eval_step(params, mem_state, batch):
+    def eval_core(carry, batch):
+        params, mem_state = carry
+        has = jnp.any(batch.node_y_valid)
         logits = encode(params, mem_state, batch)
         ndcg = ndcg_at_k(logits, batch.node_y, k=10, row_valid=batch.node_y_valid)
         mem_state = commit(params, mem_state, batch)
-        return mem_state, ndcg
+        return (params, mem_state), (jnp.where(has, ndcg, 0.0), has)
 
-    @partial(jax.jit, donate_argnums=(1,))
-    def commit_only(params, mem_state, batch):
-        return commit(params, mem_state, batch)
+    train_step = jax.jit(train_core, donate_argnums=(0,))
+    eval_step = jax.jit(eval_core, donate_argnums=(0,))
 
     state = {"params": params, "opt": opt_state, "mem": mem_state}
 
+    from tgm_tpu.train import DeviceEventStream, scanned_hook_epoch
+
+    epoch_fns = {}
+
+    def run_scanned(dg, train: bool):
+        key_ = ("train" if train else "eval", id(dg))
+        if key_ not in epoch_fns:
+            loader = DGDataLoader(dg, args.bsize, hook_manager=hm)
+            stream = DeviceEventStream(loader)
+            core = train_core if train else eval_core
+            epoch_fns[key_] = (scanned_hook_epoch(stream, hm, "all", dg, core)[0],)
+        epoch = epoch_fns[key_][0]
+        _, hstates = hm.as_transform("all", dg)
+        if train:
+            carry = (state["params"], state["opt"], state["mem"])
+            carry, hstates, (vals, has) = epoch(carry, hstates)
+            state["params"], state["opt"], state["mem"] = carry
+        else:
+            carry = (state["params"], state["mem"])
+            carry, hstates, (vals, has) = epoch(carry, hstates)
+            state["params"], state["mem"] = carry
+        hm.adopt_states("all", hstates)
+        vals, has = np.asarray(vals), np.asarray(has)
+        return float(vals[has].mean()) if has.any() else 0.0
+
     def run(dg, train: bool):
+        if not args.eager:
+            return run_scanned(dg, train)
         metrics = []
         with hm.activate("all"):
             for batch in DGDataLoader(dg, args.bsize, hook_manager=hm):
-                if batch.node_y_nids is None:
-                    # No labels: still advance memory with the edge stream.
-                    state["mem"] = commit_only(state["params"], state["mem"], batch)
-                    continue
                 if train:
-                    state["params"], state["opt"], state["mem"], loss = train_step(
-                        state["params"], state["opt"], state["mem"], batch
+                    (state["params"], state["opt"], state["mem"]), (loss, has) = train_step(
+                        (state["params"], state["opt"], state["mem"]), batch
                     )
-                    metrics.append(float(loss))
                 else:
-                    state["mem"], ndcg = eval_step(state["params"], state["mem"], batch)
-                    metrics.append(float(ndcg))
+                    (state["params"], state["mem"]), (loss, has) = eval_step(
+                        (state["params"], state["mem"]), batch
+                    )
+                if bool(has):
+                    metrics.append(float(loss))
         return float(np.mean(metrics)) if metrics else 0.0
 
     n_labels = train_dg.num_node_labels

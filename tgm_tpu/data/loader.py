@@ -47,6 +47,10 @@ class BatchPlan:
     pad_edges: int
     pad_node_x: Optional[int]
     pad_node_y: Optional[int]
+    # Per-batch start rows into each event-kind array (for device streams).
+    edge_offsets: Optional[np.ndarray] = None
+    node_x_offsets: Optional[np.ndarray] = None
+    node_y_offsets: Optional[np.ndarray] = None
 
     def __len__(self) -> int:
         return len(self.starts)
@@ -138,16 +142,16 @@ class DGDataLoader:
             lbs = np.clip(np.searchsorted(data.time, starts, "left"), lo, hi)
             ubs = np.clip(np.searchsorted(data.time, starts + batch_size, "left"), lo, hi)
 
-        def window_counts(mask: Optional[np.ndarray]):
+        def window_bounds(mask: Optional[np.ndarray]):
             if mask is None:
-                return None
+                return None, None
             a = np.searchsorted(mask, lbs, "left")
             b = np.searchsorted(mask, ubs, "left")
-            return (b - a).astype(np.int64)
+            return a.astype(np.int64), (b - a).astype(np.int64)
 
-        edge_counts = window_counts(data.edge_mask)
-        node_x_counts = window_counts(data.node_x_mask)
-        node_y_counts = window_counts(data.node_y_mask)
+        edge_offsets, edge_counts = window_bounds(data.edge_mask)
+        node_x_offsets, node_x_counts = window_bounds(data.node_x_mask)
+        node_y_offsets, node_y_counts = window_bounds(data.node_y_mask)
 
         pad_edges = _round_up(int(edge_counts.max(initial=0)), pad_multiple)
         pad_nx = None if node_x_counts is None else _round_up(int(node_x_counts.max(initial=0)), pad_multiple)
@@ -163,6 +167,9 @@ class DGDataLoader:
             pad_edges=pad_edges,
             pad_node_x=pad_nx,
             pad_node_y=pad_ny,
+            edge_offsets=edge_offsets,
+            node_x_offsets=node_x_offsets,
+            node_y_offsets=node_y_offsets,
         )
 
     def plan(self) -> BatchPlan:

@@ -1,13 +1,14 @@
 from .checkpoint import CheckpointManager, restore_checkpoint, save_checkpoint
 from .epoch import jit_scan_epoch, scan_epoch
 from .hook_pipeline import scanned_hook_epoch
-from .stream import DeviceEdgeStream
+from .stream import DeviceEdgeStream, DeviceEventStream
 from .tgat_pipeline import TGATCarry, TGATPipeline
 from .tgn_pipeline import TGNCarry, TGNPipeline
 
 __all__ = [
     "CheckpointManager",
     "DeviceEdgeStream",
+    "DeviceEventStream",
     "TGATCarry",
     "TGATPipeline",
     "TGNCarry",

@@ -1,11 +1,17 @@
-"""Device-resident edge stream for fully-scanned epochs.
+"""Device-resident event streams for fully-scanned epochs.
 
 The reference iterates batches through a host-side DataLoader
 (/root/reference/tgm/data/loader.py) with per-batch slicing. On TPU the hot
-path wants the whole epoch under one ``lax.scan``: upload the split's edge
+path wants the whole epoch under one ``lax.scan``: upload the split's event
 arrays once, precompute per-batch window offsets on host, and slice each batch
 on device with ``dynamic_slice`` — zero host↔device traffic per step
 (SURVEY.md §7.1 "static shapes everywhere" + §7.3 item 6).
+
+``DeviceEdgeStream`` serves uniform edge windows (link prediction);
+``DeviceEventStream`` is built from a ``DGDataLoader`` plan and additionally
+serves node-event / node-label windows (node & graph property prediction,
+mirroring the reference's node batches — tgm/data/loader.py:158-170,
+examples/nodeproppred/tgn.py:106-112).
 """
 
 from __future__ import annotations
@@ -78,4 +84,104 @@ class DeviceEdgeStream:
             batch.edge_x = jnp.where(
                 valid[:, None], lax.dynamic_slice_in_dim(self._edge_x, start, B), 0.0
             )
+        return batch
+
+
+class DeviceEventStream:
+    """Serve a ``DGDataLoader``'s batch plan fully on device.
+
+    Each ``batch_at(i)`` reproduces what ``materialize`` + static padding
+    would yield for batch ``i`` — edge window plus (when present) node-event
+    and node-label windows — as one jittable ``dynamic_slice`` bundle, so the
+    loader's event- or time-ordered plan can run under ``lax.scan``.
+    """
+
+    def __init__(self, loader):
+        plan = loader.plan()
+        dg = loader.dgraph
+        data = dg._storage._data
+        self.num_batches = len(plan)
+        self._plan = plan
+
+        def pad_to(x, width, fill):
+            out = np.full((len(x) + width,) + x.shape[1:], fill, x.dtype)
+            out[: len(x)] = x
+            return out
+
+        W = plan.pad_edges
+        self._We = W
+        src = data.edge_index[:, 0].astype(np.int32)
+        dst = data.edge_index[:, 1].astype(np.int32)
+        et = data.time[data.edge_mask].astype(np.int32)
+        self._src = jnp.asarray(pad_to(src, W, PADDED_NODE_ID))
+        self._dst = jnp.asarray(pad_to(dst, W, PADDED_NODE_ID))
+        self._t = jnp.asarray(pad_to(et, W, 0))
+        self._edge_x = (
+            None if data.edge_x is None else jnp.asarray(pad_to(data.edge_x, W, 0.0))
+        )
+        self._e_off = jnp.asarray(plan.edge_offsets.astype(np.int32))
+        self._e_cnt = jnp.asarray(plan.edge_counts.astype(np.int32))
+
+        self._nx = None
+        if plan.node_x_offsets is not None and data.node_x_nids is not None:
+            Wx = plan.pad_node_x
+            self._nx = {
+                "W": Wx,
+                "nids": jnp.asarray(pad_to(data.node_x_nids.astype(np.int32), Wx, PADDED_NODE_ID)),
+                "t": jnp.asarray(pad_to(data.time[data.node_x_mask].astype(np.int32), Wx, 0)),
+                "x": jnp.asarray(pad_to(data.node_x, Wx, 0.0)),
+                "off": jnp.asarray(plan.node_x_offsets.astype(np.int32)),
+                "cnt": jnp.asarray(plan.node_x_counts.astype(np.int32)),
+            }
+
+        self._ny = None
+        if plan.node_y_offsets is not None and data.node_y_nids is not None:
+            Wy = plan.pad_node_y
+            self._ny = {
+                "W": Wy,
+                "nids": jnp.asarray(pad_to(data.node_y_nids.astype(np.int32), Wy, PADDED_NODE_ID)),
+                "t": jnp.asarray(pad_to(data.time[data.node_y_mask].astype(np.int32), Wy, 0)),
+                "y": jnp.asarray(pad_to(data.node_y, Wy, 0.0)),
+                "off": jnp.asarray(plan.node_y_offsets.astype(np.int32)),
+                "cnt": jnp.asarray(plan.node_y_counts.astype(np.int32)),
+            }
+
+    @property
+    def edge_x(self) -> Optional[jnp.ndarray]:
+        return self._edge_x
+
+    def batch_at(self, i: jnp.ndarray) -> DGBatch:
+        W = self._We
+        start = self._e_off[i]
+        valid = jnp.arange(W) < self._e_cnt[i]
+        sl = lambda a: lax.dynamic_slice_in_dim(a, start, W)
+        batch = DGBatch(
+            edge_src=jnp.where(valid, sl(self._src), PADDED_NODE_ID),
+            edge_dst=jnp.where(valid, sl(self._dst), PADDED_NODE_ID),
+            edge_time=jnp.where(valid, sl(self._t), 0),
+            edge_valid=valid,
+        )
+        batch.edge_ids = jnp.where(valid, start + jnp.arange(W, dtype=jnp.int32), -1)
+        if self._edge_x is not None:
+            batch.edge_x = jnp.where(
+                valid[:, None], lax.dynamic_slice_in_dim(self._edge_x, start, W), 0.0
+            )
+        if self._nx is not None:
+            nx = self._nx
+            s = nx["off"][i]
+            v = jnp.arange(nx["W"]) < nx["cnt"][i]
+            slx = lambda a: lax.dynamic_slice_in_dim(a, s, nx["W"])
+            batch.node_x_time = jnp.where(v, slx(nx["t"]), 0)
+            batch.node_x_nids = jnp.where(v, slx(nx["nids"]), PADDED_NODE_ID)
+            batch.node_x = jnp.where(v[:, None], slx(nx["x"]), 0.0)
+            batch.node_x_valid = v
+        if self._ny is not None:
+            ny = self._ny
+            s = ny["off"][i]
+            v = jnp.arange(ny["W"]) < ny["cnt"][i]
+            sly = lambda a: lax.dynamic_slice_in_dim(a, s, ny["W"])
+            batch.node_y_time = jnp.where(v, sly(ny["t"]), 0)
+            batch.node_y_nids = jnp.where(v, sly(ny["nids"]), PADDED_NODE_ID)
+            batch.node_y = jnp.where(v[:, None], sly(ny["y"]), 0.0)
+            batch.node_y_valid = v
         return batch
