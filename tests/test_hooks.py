@@ -295,3 +295,53 @@ def test_hook_state_roundtrip(dg):
     states = hm.collect_states()
     assert states["keyed"]["train"]
     hm.load_states(states)  # no error
+
+
+# ------------------------------------------------------------------ #
+# Uniform sampler: without-replacement semantics (reference parity)
+# ------------------------------------------------------------------ #
+def test_uniform_sampler_without_replacement_stats():
+    """Oversized neighborhoods (degree > k) must yield k DISTINCT neighbors
+    with uniform marginal inclusion, matching the reference's
+    np.random.choice(replace=False) (array_backend.py:129-171)."""
+    import jax
+
+    from tgm_tpu import DGraph
+    from tgm_tpu.data.dg_data import DGData
+    from tgm_tpu.hooks import NeighborSamplerHook
+
+    # Star graph: node 0 interacts with nodes 1..D at times 1..D.
+    D, k = 24, 5
+    src = np.zeros(D, np.int64)
+    dst = np.arange(1, D + 1, dtype=np.int64)
+    t = np.arange(1, D + 1, dtype=np.int64)
+    extra_t = np.array([D + 1], np.int64)  # one later edge to query before
+    data = DGData.from_raw(
+        edge_time=np.concatenate([t, extra_t]),
+        edge_index=np.stack(
+            [np.concatenate([src, [0]]), np.concatenate([dst, [1]])], 1
+        ),
+        time_delta="s",
+    )
+    dg = DGraph(data)
+    hook = NeighborSamplerHook([k], ["edge_src"], ["edge_time"])
+    hook.init_state(dg)
+
+    counts = np.zeros(D + 2)
+    trials = 400
+    key = jax.random.PRNGKey(0)
+    seeds = jnp.zeros((1,), jnp.int32)  # node 0
+    for _ in range(trials):
+        key, sub = jax.random.split(key)
+        nbrs, _, _ = hook._query(sub, seeds, jnp.asarray(D), k)
+        row = np.asarray(nbrs[0])
+        assert len(np.unique(row)) == k, f"duplicate neighbors drawn: {row}"
+        counts[row] += 1
+
+    # Marginal inclusion probability k/D for every neighbor 1..D.
+    freq = counts[1 : D + 1] / trials
+    expect = k / D
+    assert abs(freq.mean() - expect) < 0.01
+    # Each individual neighbor within ~5 sigma of binomial expectation.
+    sigma = np.sqrt(expect * (1 - expect) / trials)
+    assert np.all(np.abs(freq - expect) < 5 * sigma), freq

@@ -21,9 +21,10 @@ TPU-first redesign (SURVEY.md §7.1/§7.3 item 1):
   semantics, fully vectorized, jit/scan-safe.
 * The uniform sampler queries the storage's **temporal CSR** (built once,
   uploaded once) with a fixed-iteration vectorized bisection — no per-batch
-  O(E) scans. Oversized neighborhoods are subsampled with replacement (the
-  reference draws without replacement; distribution differs only when
-  degree > k).
+  O(E) scans. Oversized neighborhoods are subsampled WITHOUT replacement via
+  a vectorized Floyd sampler (k unrolled steps of k-wide membership checks),
+  matching the reference's np.random.choice(replace=False) distribution
+  (/root/reference/tgm/core/_storage/backends/array_backend.py:129-171).
 """
 
 from __future__ import annotations
@@ -546,12 +547,23 @@ class NeighborSamplerHook(_NeighborHookBase):
 
         cols = jnp.arange(k)[None, :]
         take = cols < jnp.minimum(cnt, k)[:, None]
-        # Default left-aligned first-k; oversized rows get uniform draws
-        # (with replacement) over their candidate window.
+        # Default left-aligned first-k; oversized rows (cnt > k) draw k
+        # DISTINCT uniform offsets from their candidate window via Floyd's
+        # algorithm: at step i consider prefix size t+1 = cnt-k+i+1, draw
+        # r in [0, t]; if r was already chosen, take t instead. Exactly
+        # uniform over k-subsets, k^2 work per row, fully vectorized.
         key, sub = jax.random.split(key)
-        rand = jax.random.randint(sub, (seeds.shape[0], k), 0, jnp.int32(2**31 - 1))
+        S = seeds.shape[0]
+        rand = jax.random.randint(sub, (S, k), 0, jnp.int32(2**31 - 1))
+        chosen = jnp.full((S, k), -1, jnp.int32)
+        for i in range(k):
+            t = cnt - k + i  # >= 0 whenever cnt > k
+            r = rand[:, i] % jnp.maximum(t + 1, 1)
+            dup = jnp.any(chosen == r[:, None], axis=1)
+            pick = jnp.where(dup, t, r)
+            chosen = chosen.at[:, i].set(pick)
         over = (cnt > k)[:, None]
-        offs = jnp.where(over, rand % jnp.maximum(cnt, 1)[:, None], cols)
+        offs = jnp.where(over, chosen, cols)
         idx = jnp.clip(lo[:, None] + offs, 0, times.shape[0] - 1)
 
         out_ids = jnp.where(take, nbrs[idx], PADDED_NODE_ID)
