@@ -260,10 +260,14 @@ class _TGBEvalNegativesBase(StatefulHook):
         key, cursor = state
         key, sub = jax.random.split(key)
         B = batch.edge_src.shape[0]
-        Q = self._candidates.shape[1]
-        rows = jax.lax.dynamic_slice(
-            self._candidates, (cursor, jnp.int32(0)), (B, Q)
-        )
+        E_eval, Q = self._candidates.shape
+        # Row-gather instead of a clamped dynamic_slice: a clamp would shift
+        # the window backwards on a partial tail batch and re-serve earlier
+        # edges' candidates (mis-alignment); out-of-range rows are padded.
+        row_idx = cursor + jnp.arange(B, dtype=jnp.int32)
+        in_range = row_idx < E_eval
+        rows = self._candidates[jnp.clip(row_idx, 0, E_eval - 1)]
+        rows = jnp.where(in_range[:, None], rows, PADDED_NODE_ID)
         if batch.edge_valid is not None:
             rows = jnp.where(batch.edge_valid[:, None], rows, PADDED_NODE_ID)
             n_valid = jnp.sum(batch.edge_valid.astype(jnp.int32))
@@ -292,7 +296,7 @@ class _TGBEvalNegativesBase(StatefulHook):
         self.add_batch_attribute(batch, "neg_batch_list", rows)
         self.add_batch_attribute(batch, "neg_valid", neg_valid)
         self.add_batch_attribute(batch, "neg_time", neg_time)
-        cursor = jnp.minimum(cursor + n_valid, self._candidates.shape[0] - B)
+        cursor = cursor + n_valid
         return (key, cursor), batch
 
     def __call__(self, dg: DGraph, batch: DGBatch) -> DGBatch:

@@ -80,9 +80,10 @@ def stale_parallel_epoch(
     """
     spans = split_spans(num_batches, n_spans)
     span_len = max(e - s for s, e in spans)
-    # Pad every span to equal length by repeating the last index; repeated
-    # batches are harmless for throughput measurement but for training the
-    # caller should pick n_spans dividing num_batches.
+    # Spans are padded to equal length, but padded iterations are SKIPPED via
+    # lax.cond (carry passes through unchanged, loss slot = 0) — no repeated
+    # batches ever execute, so training statistics are unaffected. Callers
+    # averaging the loss array should mask the zero slots of shorter spans.
     starts = jnp.asarray([s for s, _ in spans])
     lens = jnp.asarray([e - s for s, e in spans])
 

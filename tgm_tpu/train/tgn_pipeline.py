@@ -14,7 +14,7 @@ hook-manager indirection for a hand-fused pipeline.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -275,6 +275,103 @@ class TGNPipeline:
         updates, opt_state = self.opt.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
         return TGNCarry(params, opt_state, mem_state, rec_state, rng), loss
+
+    # ------------------------------------------------------------------ #
+    def eval_step(
+        self,
+        carry: TGNCarry,
+        batch: DGBatch,
+        cands: jnp.ndarray,  # (B, Q) negative candidate dst ids
+        cand_times: Optional[jnp.ndarray] = None,  # (B, Q); default edge_time
+    ) -> Tuple[TGNCarry, Tuple[jnp.ndarray, jnp.ndarray]]:
+        """Scanned evaluation: score each edge against its candidate list and
+        advance state with reference eval-mode ordering (store messages, then
+        apply; no parameter update). Returns (carry, (mrr_sum, mrr_count)).
+
+        Rowwise-path only (each seed row is independent, so the B*Q candidate
+        seeds batch into one dense forward). Reference contract:
+        /root/reference/examples/linkproppred/tgn.py:125-184.
+        """
+        assert self.rowwise, "eval_step requires the rowwise pipeline"
+        params, opt_state, mem_state, rec_state, rng = carry
+        B, Q = cands.shape
+        K = self.num_nbrs
+        if cand_times is None:
+            cand_times = jnp.broadcast_to(batch.edge_time[:, None], (B, Q))
+        cand_flat = cands.reshape(-1)
+        cand_valid = cand_flat != PADDED_NODE_ID
+
+        seeds = jnp.concatenate([batch.edge_src, batch.edge_dst, cand_flat])
+        seed_t = jnp.concatenate(
+            [batch.edge_time, batch.edge_time, cand_times.reshape(-1)]
+        )
+        if self.edge_x_full is not None:
+            nbr_ids, nbr_t, nbr_e = recency_eid_query(rec_state, seeds, seed_t, K)
+            nbr_x = gather_edge_feats(self.edge_x_full, nbr_e)
+        else:
+            nbr_ids, nbr_t, nbr_x = recency_query(rec_state, seeds, seed_t, K)
+
+        S = seeds.shape[0]
+        rows = jnp.concatenate([seeds, nbr_ids.reshape(-1)])
+        # Eval mode: stored memory, no staging (reference tgn.py:157-163).
+        z_mem, last_upd = self.memory.apply(
+            params["mem"], mem_state, rows, False, method=TGNMemory.stage
+        )
+        z = self.encoder.apply(
+            params["enc"],
+            z_mem[:S],
+            z_mem[S:].reshape(S, K, self.memory_dim),
+            last_upd[:S],
+            nbr_t,
+            nbr_x,
+            nbr_ids != PADDED_NODE_ID,
+        )
+        z_src, z_dst, z_cand = z[:B], z[B : 2 * B], z[2 * B :]
+        pos = self.decoder.apply(params["dec"], z_src, z_dst)
+        negs = self.decoder.apply(
+            params["dec"],
+            jnp.repeat(z_src[:, None, :], Q, axis=1).reshape(B * Q, -1),
+            z_cand,
+        ).reshape(B, Q)
+
+        from ..eval.metrics import mrr_sum_count
+
+        s, c = mrr_sum_count(
+            pos, negs,
+            neg_valid=cand_valid.reshape(B, Q),
+            edge_valid=batch.edge_valid,
+        )
+
+        # Eval-mode commit: store messages, then apply them (tgn.py:165-177).
+        mem_state = tgn_store_messages(
+            mem_state, batch.edge_src, batch.edge_dst, batch.edge_time,
+            self._raw_msg(batch), batch.edge_valid,
+        )
+        nodes = jnp.concatenate([batch.edge_src, batch.edge_dst])
+        nodes = jnp.where(
+            jnp.concatenate([batch.edge_valid, batch.edge_valid]), nodes, self.num_nodes
+        )
+        mem_state = self.memory.apply(
+            params["mem"], mem_state, nodes, method=TGNMemory.flush
+        )
+        if self.edge_x_full is not None:
+            rec_state = recency_eid_update(
+                rec_state, batch.edge_src, batch.edge_dst, batch.edge_time,
+                batch.edge_ids, batch.edge_valid, directed=False,
+            )
+        else:
+            rec_state = recency_update(
+                rec_state, batch.edge_src, batch.edge_dst, batch.edge_time,
+                batch.edge_x, batch.edge_valid, directed=False,
+            )
+        return TGNCarry(params, opt_state, mem_state, rec_state, rng), (s, c)
+
+    def flush_all(self, carry: TGNCarry) -> TGNCarry:
+        """Train -> eval transition (flush pending messages, clear stores)."""
+        mem_state = self.memory.apply(
+            carry.params["mem"], carry.mem_state, method=TGNMemory.flush_all
+        )
+        return carry._replace(mem_state=mem_state)
 
     # ------------------------------------------------------------------ #
     def forward_only(self, carry: TGNCarry, batch: DGBatch) -> jnp.ndarray:

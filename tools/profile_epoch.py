@@ -84,6 +84,7 @@ def run_and_trace(args) -> str:
         num_nodes=nn_, edge_dim=ed, memory_dim=100, embed_dim=100,
         time_dim=100, num_nbrs=10, lr=1e-4,
         neg_low=int(dg.edge_dst.min()), neg_high=int(dg.edge_dst.max()),
+        edge_x_full=stream.edge_x,
     )
     carry = pipe.init_carry(jax.random.PRNGKey(0))
     epoch = jit_scan_epoch(pipe.train_step, stream.batch_at, stream.num_batches)
