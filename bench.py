@@ -223,6 +223,7 @@ def main() -> None:
             lr=1e-4,
             neg_low=int(dg.edge_dst.min()),
             neg_high=int(dg.edge_dst.max()),
+            edge_x_full=stream.edge_x,
         )
     else:
         pipe = TGNPipeline(

@@ -179,3 +179,77 @@ def test_pipeline_eid_buffer_equivalence():
         losses[mode] = np.concatenate([np.asarray(ls), np.asarray(ls2)])
 
     np.testing.assert_allclose(losses["eids"], losses["feats"], rtol=1e-6, atol=1e-6)
+
+
+def test_tgat_pipeline_eid_buffer_equivalence():
+    """TGAT eid-buffer pipeline must match the feature-buffer pipeline."""
+    from tgm_tpu.data.dg_data import DGData
+    from tgm_tpu.core.graph import DGraph
+    from tgm_tpu.train import DeviceEdgeStream, TGATPipeline, jit_scan_epoch
+
+    rng = np.random.default_rng(1)
+    N, E, D, B = 30, 200, 4, 48
+    data = DGData.from_raw(
+        edge_time=np.sort(rng.integers(0, 3000, E)),
+        edge_index=rng.integers(0, N, (E, 2)),
+        edge_x=rng.normal(size=(E, D)).astype(np.float32),
+        time_delta="s",
+    )
+    dg = DGraph(data)
+    stream = DeviceEdgeStream(dg, B)
+    node_x = jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32))
+
+    losses = {}
+    for mode, exf in (("feats", None), ("eids", stream.edge_x)):
+        pipe = TGATPipeline(
+            num_nodes=N, edge_dim=D, node_x=node_x, num_nbrs=(4, 3),
+            time_dim=8, embed_dim=8, lr=1e-3, neg_low=0, neg_high=N,
+            edge_x_full=exf,
+        )
+        carry = pipe.init_carry(jax.random.PRNGKey(3))
+        epoch = jit_scan_epoch(pipe.train_step, stream.batch_at, stream.num_batches)
+        carry, l1 = epoch(carry)
+        carry, l2 = epoch(carry)
+        losses[mode] = np.concatenate([np.asarray(l1), np.asarray(l2)])
+    np.testing.assert_allclose(losses["eids"], losses["feats"], rtol=1e-6, atol=1e-6)
+
+
+def test_pipeline_packed_state_equivalence():
+    """Packed memory-state layout (fused gathers) must match the unpacked
+    layout exactly — train losses and eval MRR."""
+    from tgm_tpu.data.dg_data import DGData
+    from tgm_tpu.core.graph import DGraph
+    from tgm_tpu.train import DeviceEdgeStream, TGNPipeline, jit_scan_epoch
+
+    rng = np.random.default_rng(5)
+    N, E, D, B, Q = 40, 320, 6, 64, 4
+    src = rng.integers(0, N, E)
+    dst = rng.integers(0, N, E)
+    t = np.sort(rng.integers(0, 5000, E))
+    x = rng.normal(size=(E, D)).astype(np.float32)
+    data = DGData.from_raw(
+        edge_time=t, edge_index=np.stack([src, dst], 1), edge_x=x, time_delta="s"
+    )
+    dg = DGraph(data)
+    stream = DeviceEdgeStream(dg, B)
+    cands = jnp.asarray(rng.integers(0, N, (B, Q)).astype(np.int32))
+
+    out = {}
+    for packed in (False, True):
+        pipe = TGNPipeline(
+            num_nodes=N, edge_dim=D, memory_dim=8, embed_dim=8, time_dim=6,
+            num_nbrs=5, lr=1e-3, neg_low=0, neg_high=N,
+            edge_x_full=stream.edge_x, packed_state=packed,
+        )
+        carry = pipe.init_carry(jax.random.PRNGKey(7))
+        epoch = jit_scan_epoch(pipe.train_step, stream.batch_at, stream.num_batches,
+                               donate_carry=False)
+        carry, l1 = epoch(carry)
+        carry, l2 = epoch(carry)
+        carry = pipe.flush_all(carry)
+        carry, (s, c) = jax.jit(pipe.eval_step)(carry, stream.batch_at(0), cands)
+        out[packed] = (np.concatenate([np.asarray(l1), np.asarray(l2)]),
+                       float(s), float(c))
+
+    np.testing.assert_allclose(out[True][0], out[False][0], rtol=1e-6, atol=1e-6)
+    assert out[True][1] == out[False][1] and out[True][2] == out[False][2]

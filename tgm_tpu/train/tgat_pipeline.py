@@ -15,7 +15,16 @@ import jax.numpy as jnp
 import optax
 
 from ..core.batch import DGBatch
-from ..hooks.neighbors import recency_init, recency_query, recency_update
+from ..constants import PADDED_NODE_ID
+from ..hooks.neighbors import (
+    gather_edge_feats,
+    recency_eid_init,
+    recency_eid_query,
+    recency_eid_update,
+    recency_init,
+    recency_query,
+    recency_update,
+)
 from ..nn.decoder import LinkPredictor
 from ..nn.encoder.tgat import TGAT
 
@@ -41,6 +50,7 @@ class TGATPipeline:
         neg_low: int = 0,
         neg_high: int = 1,
         state_row_multiple: int = 1,
+        edge_x_full: Any = None,
     ) -> None:
         self.num_nodes = num_nodes
         self.edge_dim = edge_dim
@@ -49,6 +59,9 @@ class TGATPipeline:
         self.neg_low = neg_low
         self.neg_high = max(neg_high, neg_low + 1)
         self.state_row_multiple = state_row_multiple
+        # eid-buffer recency (see tgn_pipeline.py): carry edge ids, gather
+        # features from this static array at query time.
+        self.edge_x_full = edge_x_full
         self.encoder = TGAT(
             node_dim=node_x.shape[1],
             edge_dim=edge_dim,
@@ -72,7 +85,11 @@ class TGATPipeline:
                 seed_t = hop_nbr_t[hop - 1].reshape(-1)
                 hop_seeds.append(seeds)
                 hop_times.append(seed_t)
-            nbrs, nts, nxs = recency_query(rec_state, seeds, seed_t, k)
+            if self.edge_x_full is not None:
+                nbrs, nts, nes = recency_eid_query(rec_state, seeds, seed_t, k)
+                nxs = gather_edge_feats(self.edge_x_full, nes)
+            else:
+                nbrs, nts, nxs = recency_query(rec_state, seeds, seed_t, k)
             hop_nbrs.append(nbrs)
             hop_nbr_t.append(nts)
             hop_nbr_x.append(nxs)
@@ -82,9 +99,15 @@ class TGATPipeline:
 
     def init_carry(self, rng: jnp.ndarray) -> TGATCarry:
         k1, k2, k3 = jax.random.split(rng, 3)
-        rec_state = recency_init(
-            self.num_nodes, max(self.num_nbrs), self.edge_dim, self.state_row_multiple
-        )
+        if self.edge_x_full is not None:
+            rec_state = recency_eid_init(
+                self.num_nodes, max(self.num_nbrs), self.state_row_multiple
+            )
+        else:
+            rec_state = recency_init(
+                self.num_nodes, max(self.num_nbrs), self.edge_dim,
+                self.state_row_multiple,
+            )
         B0 = 4
         seeds = jnp.zeros(3 * B0, jnp.int32)
         st = jnp.zeros(3 * B0, jnp.int32)
@@ -101,6 +124,8 @@ class TGATPipeline:
         rng, k_neg = jax.random.split(rng)
         B = batch.edge_src.shape[0]
         neg = jax.random.randint(k_neg, (B,), self.neg_low, self.neg_high, dtype=jnp.int32)
+        if batch.edge_valid is not None:
+            neg = jnp.where(batch.edge_valid, neg, PADDED_NODE_ID)
         seeds = jnp.concatenate([batch.edge_src, batch.edge_dst, neg])
         seed_t = jnp.concatenate([batch.edge_time] * 3)
         hops = self._hops(rec_state, seeds, seed_t)
@@ -117,10 +142,16 @@ class TGATPipeline:
             ) / d
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        rec_state = recency_update(
-            rec_state, batch.edge_src, batch.edge_dst, batch.edge_time,
-            batch.edge_x, batch.edge_valid, directed=False,
-        )
+        if self.edge_x_full is not None:
+            rec_state = recency_eid_update(
+                rec_state, batch.edge_src, batch.edge_dst, batch.edge_time,
+                batch.edge_ids, batch.edge_valid, directed=False,
+            )
+        else:
+            rec_state = recency_update(
+                rec_state, batch.edge_src, batch.edge_dst, batch.edge_time,
+                batch.edge_x, batch.edge_valid, directed=False,
+            )
         updates, opt_state = self.opt.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
         return TGATCarry(params, opt_state, rec_state, rng), loss

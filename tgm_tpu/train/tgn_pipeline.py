@@ -37,7 +37,9 @@ from ..nn.encoder.tgn import (
     GraphAttentionEmbeddingRowwise,
     TGNMemory,
     tgn_init_state,
+    tgn_pack_state,
     tgn_store_messages,
+    tgn_store_messages_packed,
 )
 
 _SENTINEL = jnp.iinfo(jnp.int32).max
@@ -69,6 +71,7 @@ class TGNPipeline:
         state_row_multiple: int = 1,
         rowwise: bool = True,
         edge_x_full: Any = None,
+        packed_state: bool = True,
     ) -> None:
         self.num_nodes = num_nodes
         self.state_row_multiple = state_row_multiple
@@ -78,6 +81,11 @@ class TGNPipeline:
         # from the scan carry. Requires batches with ``edge_ids``
         # (DeviceEdgeStream provides them).
         self.edge_x_full = edge_x_full
+        # Packed memory-state layout: one int32 meta matrix + one raws matrix
+        # per node instead of 10 separate arrays — cuts the staging gathers
+        # from ~12 to 5 (each gather costs ~per-row on TPU). Bit-equivalent
+        # math (tests/test_tgn.py equivalence tests).
+        self.packed_state = packed_state
         # rowwise=True uses the dense per-seed attention (no segment scatters,
         # no dedup) — the TPU speed-of-light layout; rowwise=False keeps the
         # reference example's dedup + segment-softmax subgraph aggregation.
@@ -111,6 +119,8 @@ class TGNPipeline:
         mem_state = tgn_init_state(
             self.num_nodes, self.memory_dim, self.edge_dim, self.state_row_multiple
         )
+        if self.packed_state:
+            mem_state = tgn_pack_state(mem_state)
         if self.edge_x_full is not None:
             rec_state = recency_eid_init(
                 self.num_nodes, self.num_nbrs, self.state_row_multiple
@@ -166,7 +176,8 @@ class TGNPipeline:
             S = seeds.shape[0]
             rows = jnp.concatenate([seeds, nbr_ids.reshape(-1)])
             z_mem, last_upd = self.memory.apply(
-                params["mem"], mem_state, rows, method=TGNMemory.stage
+                params["mem"], mem_state, rows,
+                method=TGNMemory.stage_packed if self.packed_state else TGNMemory.stage,
             )
             z = self.encoder.apply(
                 params["enc"],
@@ -196,7 +207,8 @@ class TGNPipeline:
         to_local = lambda ids: g2l[jnp.where((ids >= 0) & (ids < n), ids, n)]
 
         z_mem, last_upd = self.memory.apply(
-            params["mem"], mem_state, unique_nids, method=TGNMemory.stage
+            params["mem"], mem_state, unique_nids,
+            method=TGNMemory.stage_packed if self.packed_state else TGNMemory.stage,
         )
 
         src_rep = jnp.repeat(seeds, K)
@@ -254,8 +266,12 @@ class TGNPipeline:
         nodes = jnp.where(
             jnp.concatenate([batch.edge_valid, batch.edge_valid]), nodes, self.num_nodes
         )
-        mem_state = self.memory.apply(params["mem"], mem_state, nodes, method=TGNMemory.flush)
-        mem_state = tgn_store_messages(
+        mem_state = self.memory.apply(
+            params["mem"], mem_state, nodes,
+            method=TGNMemory.flush_packed if self.packed_state else TGNMemory.flush,
+        )
+        store = tgn_store_messages_packed if self.packed_state else tgn_store_messages
+        mem_state = store(
             mem_state, batch.edge_src, batch.edge_dst, batch.edge_time,
             self._raw_msg(batch), batch.edge_valid,
         )
@@ -315,7 +331,8 @@ class TGNPipeline:
         rows = jnp.concatenate([seeds, nbr_ids.reshape(-1)])
         # Eval mode: stored memory, no staging (reference tgn.py:157-163).
         z_mem, last_upd = self.memory.apply(
-            params["mem"], mem_state, rows, False, method=TGNMemory.stage
+            params["mem"], mem_state, rows, False,
+            method=TGNMemory.stage_packed if self.packed_state else TGNMemory.stage,
         )
         z = self.encoder.apply(
             params["enc"],
@@ -343,7 +360,8 @@ class TGNPipeline:
         )
 
         # Eval-mode commit: store messages, then apply them (tgn.py:165-177).
-        mem_state = tgn_store_messages(
+        store = tgn_store_messages_packed if self.packed_state else tgn_store_messages
+        mem_state = store(
             mem_state, batch.edge_src, batch.edge_dst, batch.edge_time,
             self._raw_msg(batch), batch.edge_valid,
         )
@@ -352,7 +370,8 @@ class TGNPipeline:
             jnp.concatenate([batch.edge_valid, batch.edge_valid]), nodes, self.num_nodes
         )
         mem_state = self.memory.apply(
-            params["mem"], mem_state, nodes, method=TGNMemory.flush
+            params["mem"], mem_state, nodes,
+            method=TGNMemory.flush_packed if self.packed_state else TGNMemory.flush,
         )
         if self.edge_x_full is not None:
             rec_state = recency_eid_update(
@@ -369,7 +388,8 @@ class TGNPipeline:
     def flush_all(self, carry: TGNCarry) -> TGNCarry:
         """Train -> eval transition (flush pending messages, clear stores)."""
         mem_state = self.memory.apply(
-            carry.params["mem"], carry.mem_state, method=TGNMemory.flush_all
+            carry.params["mem"], carry.mem_state,
+            method=TGNMemory.flush_all_packed if self.packed_state else TGNMemory.flush_all,
         )
         return carry._replace(mem_state=mem_state)
 
