@@ -170,6 +170,11 @@ def main() -> None:
     p.add_argument("--bsize", type=int, default=200)
     p.add_argument("--epochs", type=int, default=2, help="timed epochs after warmup")
     p.add_argument(
+        "--with-eval", action="store_true",
+        help="also time a scanned candidate-list eval epoch (tgn only; adds "
+        "eval_edges_per_sec to the JSON line)",
+    )
+    p.add_argument(
         "--model", type=str, default="tgn",
         choices=["tgn", "tgat", "tgn-hooks"],
         help="tgn/tgat: hand-fused scanned pipelines; tgn-hooks: the "
@@ -266,6 +271,40 @@ def main() -> None:
     if cpu_base is not None:
         out["vs_reference_cpu_measured"] = round(edges_per_sec / cpu_base, 3)
         out["reference_cpu_edges_per_sec"] = round(cpu_base, 1)
+
+    if args.with_eval and args.model == "tgn":
+        # Scanned eval epoch: every edge scored against Q=20 synthetic
+        # candidates via TGNPipeline.eval_step (TGB-style masked-rank MRR).
+        import jax.numpy as jnp
+        from jax import lax
+
+        Q = 20
+        B = args.bsize
+        nb = stream.num_batches
+        cands = jax.random.randint(
+            jax.random.PRNGKey(1), (nb * B, Q),
+            int(dg.edge_dst.min()), int(dg.edge_dst.max()) + 1, dtype=jnp.int32,
+        )
+
+        def eval_epoch(c):
+            def body(c, i):
+                rows = lax.dynamic_slice(cands, (i * B, 0), (B, Q))
+                return pipe.eval_step(c, stream.batch_at(i), rows)
+
+            return lax.scan(body, c, jnp.arange(nb))
+
+        eval_jit = jax.jit(eval_epoch, donate_argnums=())
+        carry2 = pipe.flush_all(carry)
+        carry2, (s, cc) = eval_jit(carry2)  # compile + warm
+        jax.block_until_ready(s)
+        t0 = time.perf_counter()
+        carry2, (s, cc) = eval_jit(carry2)
+        jax.block_until_ready(s)
+        dt = time.perf_counter() - t0
+        out["eval_edges_per_sec"] = round(num_edges / dt, 1)
+        out["eval_candidates_per_edge"] = Q
+        out["eval_mrr_synthetic"] = round(float(jnp.sum(s) / jnp.maximum(jnp.sum(cc), 1)), 4)
+
     print(json.dumps(out))
 
 
