@@ -71,7 +71,7 @@ class TGNPipeline:
         state_row_multiple: int = 1,
         rowwise: bool = True,
         edge_x_full: Any = None,
-        packed_state: bool = True,
+        packed_state: bool = False,
     ) -> None:
         self.num_nodes = num_nodes
         self.state_row_multiple = state_row_multiple
@@ -81,10 +81,11 @@ class TGNPipeline:
         # from the scan carry. Requires batches with ``edge_ids``
         # (DeviceEdgeStream provides them).
         self.edge_x_full = edge_x_full
-        # Packed memory-state layout: one int32 meta matrix + one raws matrix
-        # per node instead of 10 separate arrays — cuts the staging gathers
-        # from ~12 to 5 (each gather costs ~per-row on TPU). Bit-equivalent
-        # math (tests/test_tgn.py equivalence tests).
+        # Packed memory-state layout (measured NEGATIVE on v5e — default off):
+        # packing cut the staging gathers from ~12 to 5 but the column-sliced
+        # scatters in store/flush compiled to whole-array copies; wiki-shape
+        # bench dropped 186k -> 59k edges/s. Kept because it is bit-equivalent
+        # (tests) and other backends/shapes may prefer it.
         self.packed_state = packed_state
         # rowwise=True uses the dense per-seed attention (no segment scatters,
         # no dedup) — the TPU speed-of-light layout; rowwise=False keeps the
