@@ -42,3 +42,24 @@ def test_val_mrr_parity(parity_result):
 
 def test_test_mrr_parity(parity_result):
     assert parity_result["test_mrr_abs_diff"] < 0.02, parity_result
+
+
+@pytest.fixture(scope="module")
+def tgat_parity_result():
+    from tools.parity_harness import ParityConfig, run_parity_tgat
+
+    cfg = ParityConfig(
+        n_nodes=120, n_edges=800, bsize=100, epochs=2, n_cands=5,
+        embed_dim=16, time_dim=8,
+    )
+    return run_parity_tgat(cfg, n_nbrs=(4, 4))
+
+
+def test_tgat_training_parity(tgat_parity_result):
+    """Reference path: /root/reference/examples/linkproppred/tgat.py:55-210
+    (2-hop recency sampling, joint chunked forward, candidate-list eval)."""
+    r = tgat_parity_result
+    assert abs(r["loss_first_batch"][0] - r["loss_first_batch"][1]) < 1e-4, r
+    assert r["loss_max_abs_diff"] < 1e-2, r
+    assert r["val_mrr_max_abs_diff"] < 0.03, r
+    assert r["test_mrr_abs_diff"] < 0.03, r

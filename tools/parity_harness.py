@@ -700,9 +700,403 @@ def main() -> None:
     args = p.parse_args()
 
     cfg = ParityConfig(epochs=args.epochs, n_edges=args.n_edges)
-    out = run_parity(cfg)
+    tgat_cfg = ParityConfig(epochs=args.epochs, n_edges=args.n_edges,
+                            embed_dim=32, time_dim=16)
+    out = {
+        # Live-Adam trajectories: agreement bands include chaotic fp
+        # amplification (reduce-order noise compounds through training).
+        "tgn": run_parity(cfg),
+        "tgat": run_parity_tgat(tgat_cfg, n_nbrs=(5, 5)),
+        # lr=0 ablations: freezes the optimizer so ONLY the state path
+        # (sampling, staging, commits, eval semantics) is compared — scores
+        # agree to fp epsilon, so MRR matches up to knife-edge rank ties.
+        # This is the semantic-parity claim.
+        "tgn_lr0": run_parity(dataclasses.replace(cfg, lr=0.0)),
+        "tgat_lr0": run_parity_tgat(
+            dataclasses.replace(tgat_cfg, lr=0.0), n_nbrs=(5, 5)
+        ),
+    }
+    for k in ("tgn_lr0", "tgat_lr0"):
+        assert out[k]["loss_max_abs_diff"] < 1e-5, (k, out[k])
+        assert out[k]["val_mrr_max_abs_diff"] < 5e-3, (k, out[k])
+        assert out[k]["test_mrr_abs_diff"] < 5e-3, (k, out[k])
     Path(args.out).write_text(json.dumps(out, indent=2) + "\n")
     print(json.dumps(out, indent=2))
+
+
+
+
+# --------------------------------------------------------------------------- #
+# TGAT end-to-end training parity
+# --------------------------------------------------------------------------- #
+def run_reference_tgat(cfg: ParityConfig, splits, negs, n_nbrs) -> Dict:
+    """Reference TGAT example pipeline (torch CPU): recency hooks, 2-hop
+    sampling, BCE + Adam, candidate-list eval
+    (/root/reference/examples/linkproppred/tgat.py:55-210)."""
+    import torch
+    import torch.nn.functional as F
+
+    from tools.refbridge import import_reference
+
+    import_reference()
+    from tgm import DGraph
+    from tgm.data import DGData, DGDataLoader
+    from tgm.hooks import HookManager, RecencyNeighborHook
+    from tgm.nn import TGAT, LinkPredictor
+
+    torch.manual_seed(cfg.seed)
+    static_x = np.random.default_rng(cfg.seed + 2).normal(
+        size=(cfg.n_nodes, 1)
+    ).astype(np.float32)
+
+    def dg_of(sp):
+        data = DGData.from_raw(
+            edge_time=torch.from_numpy(sp["t"]),
+            edge_index=torch.from_numpy(
+                np.stack([sp["src"], sp["dst"]], 1).astype(np.int64)
+            ),
+            edge_x=torch.from_numpy(sp["x"]),
+            static_node_x=torch.from_numpy(static_x),
+            time_delta="s",
+        )
+        return DGraph(data, device="cpu")
+
+    train_dg, val_dg, test_dg = dg_of(splits["train"]), dg_of(splits["val"]), dg_of(splits["test"])
+
+    class InjectTrainNeg:
+        has_state = True
+        requires = frozenset({"edge_time"})
+        produces = frozenset({"neg", "neg_time"})
+
+        def __init__(self, neg_list):
+            self.neg_list, self.i = neg_list, 0
+
+        def __call__(self, dg, batch):
+            neg = self.neg_list[self.i][: len(batch.edge_src)]
+            self.i += 1
+            batch.neg = torch.from_numpy(neg).to(torch.int64)
+            batch.neg_time = batch.edge_time.clone()
+            return batch
+
+        def reset_state(self):
+            self.i = 0
+
+    class InjectEvalNeg:
+        has_state = True
+        requires = frozenset({"edge_time"})
+        produces = frozenset({"neg", "neg_batch_list", "neg_time"})
+
+        def __init__(self, sets):
+            self.sets, self.i = sets, 0
+
+        def __call__(self, dg, batch):
+            s = self.sets[self.i]
+            self.i += 1
+            batch.neg = torch.from_numpy(s["uniq"]).to(torch.int64)
+            batch.neg_time = torch.from_numpy(s["neg_time"]).to(torch.int64)
+            batch.neg_batch_list = [
+                torch.from_numpy(r).to(torch.int64) for r in s["cands"]
+            ]
+            return batch
+
+        def reset_state(self):
+            self.i = 0
+
+    hm = HookManager(keys=["train", "val", "test"])
+    hm.register("train", InjectTrainNeg(negs["train"]))
+    hm.register("val", InjectEvalNeg(negs["val"]))
+    hm.register("test", InjectEvalNeg(negs["test"]))
+    hm.register_shared(
+        RecencyNeighborHook(
+            num_nbrs=list(n_nbrs),
+            num_nodes=cfg.n_nodes,
+            seed_nodes_keys=["edge_src", "edge_dst", "neg"],
+            seed_times_keys=["edge_time", "edge_time", "neg_time"],
+        )
+    )
+
+    encoder = TGAT(
+        node_dim=1, edge_dim=cfg.edge_dim, time_dim=cfg.time_dim,
+        embed_dim=cfg.embed_dim, num_layers=len(n_nbrs), n_heads=2, dropout=0.0,
+    )
+    decoder = LinkPredictor(node_dim=cfg.embed_dim, hidden_dim=cfg.embed_dim)
+    params = list(dict.fromkeys(list(encoder.parameters()) + list(decoder.parameters())))
+    opt = torch.optim.Adam(params, lr=cfg.lr)
+
+    import copy
+
+    init_modules = {"encoder": copy.deepcopy(encoder), "decoder": copy.deepcopy(decoder)}
+    sx = torch.from_numpy(static_x)
+
+    def train_epoch(loader):
+        encoder.train(); decoder.train()
+        losses = []
+        for batch in loader:
+            opt.zero_grad()
+            z = encoder(
+                sx, batch.seed_nids, batch.seed_times, batch.nbr_nids,
+                batch.nbr_edge_x, batch.nbr_edge_time,
+            )
+            z_src, z_dst, z_neg = torch.chunk(z, 3)
+            pos = decoder(z_src, z_dst)
+            neg = decoder(z_src, z_neg)
+            loss = F.binary_cross_entropy_with_logits(pos, torch.ones_like(pos))
+            loss = loss + F.binary_cross_entropy_with_logits(neg, torch.zeros_like(neg))
+            loss.backward()
+            opt.step()
+            losses.append(float(loss.detach()))
+        return losses
+
+    @torch.no_grad()
+    def eval_epoch(loader):
+        encoder.eval(); decoder.eval()
+        rr = []
+        for batch in loader:
+            z = encoder(
+                sx, batch.seed_nids, batch.seed_times, batch.nbr_nids,
+                batch.nbr_edge_x, batch.nbr_edge_time,
+            )
+            id_map = {int(nid): i for i, nid in enumerate(batch.seed_nids[0])}
+            pos_l, neg_l = [], []
+            for idx, neg_batch in enumerate(batch.neg_batch_list):
+                dst_ids = torch.cat([batch.edge_dst[idx].unsqueeze(0), neg_batch])
+                src_ids = batch.edge_src[idx].repeat(len(dst_ids))
+                src_idx = torch.tensor([id_map[int(n)] for n in src_ids])
+                dst_idx = torch.tensor([id_map[int(n)] for n in dst_ids])
+                y = decoder(z[src_idx], z[dst_idx]).sigmoid()
+                pos_l.append(float(y[0]))
+                neg_l.append(y[1:].numpy())
+            rr.append(reciprocal_ranks(np.array(pos_l), np.stack(neg_l)))
+        return float(np.mean(np.concatenate(rr)))
+
+    train_loader = DGDataLoader(train_dg, cfg.bsize, hook_manager=hm)
+    val_loader = DGDataLoader(val_dg, cfg.bsize, hook_manager=hm)
+    test_loader = DGDataLoader(test_dg, cfg.bsize, hook_manager=hm)
+
+    losses, val_mrrs, test_mrr = [], [], float("nan")
+    for epoch in range(cfg.epochs):
+        with hm.activate("train"):
+            losses.append(train_epoch(train_loader))
+        with hm.activate("val"):
+            val_mrrs.append(eval_epoch(val_loader))
+        if epoch == cfg.epochs - 1:
+            with hm.activate("test"):
+                test_mrr = eval_epoch(test_loader)
+        else:
+            hm.reset_state()
+
+    return {
+        "losses": losses, "val_mrr": val_mrrs, "test_mrr": test_mrr,
+        "modules": init_modules, "static_x": static_x,
+    }
+
+
+def run_ours_tgat(cfg: ParityConfig, splits, negs, n_nbrs, torch_modules, static_x) -> Dict:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import optax
+
+    from tools.refbridge import link_predictor_params, tgat_params
+    from tgm_tpu import DGDataLoader, DGraph
+    from tgm_tpu.constants import PADDED_NODE_ID
+    from tgm_tpu.data.dg_data import DGData
+    from tgm_tpu.hooks import HookManager, RecencyNeighborHook
+    from tgm_tpu.hooks.base import StatefulHook
+    from tgm_tpu.nn import TGAT, LinkPredictor
+
+    def dg_of(sp):
+        data = DGData.from_raw(
+            edge_time=sp["t"],
+            edge_index=np.stack([sp["src"], sp["dst"]], 1),
+            edge_x=sp["x"],
+            static_node_x=static_x,
+            time_delta="s",
+        )
+        return DGraph(data)
+
+    train_dg, val_dg, test_dg = dg_of(splits["train"]), dg_of(splits["val"]), dg_of(splits["test"])
+
+    class InjectTrainNeg(StatefulHook):
+        _cls_requires = {"edge_time"}
+        _cls_produces = {"neg", "neg_time"}
+
+        def __init__(self, neg_list):
+            super().__init__()
+            self.neg_list = [n.astype(np.int32) for n in neg_list]
+            self.i = 0
+
+        def __call__(self, dg, batch):
+            width = batch.edge_src.shape[0]
+            neg = np.full(width, PADDED_NODE_ID, np.int32)
+            real = self.neg_list[self.i]
+            neg[: len(real)] = real
+            self.i += 1
+            neg = jnp.asarray(neg)
+            if batch.edge_valid is not None:
+                neg = jnp.where(batch.edge_valid, neg, PADDED_NODE_ID)
+            batch.neg = neg
+            batch.neg_time = batch.edge_time
+            return batch
+
+        def reset_state(self):
+            self.i = 0
+
+    class InjectEvalNeg(StatefulHook):
+        _cls_requires = {"edge_time"}
+        _cls_produces = {"neg", "neg_batch_list", "neg_time", "neg_valid"}
+
+        def __init__(self, sets, bsize, Q):
+            super().__init__()
+            self.i = 0
+            self.cap = bsize * Q
+            self.Q = Q
+            self.raw = sets
+
+        def __call__(self, dg, batch):
+            s = self.raw[self.i]
+            self.i += 1
+            width = batch.edge_src.shape[0]
+            uniq = np.full(self.cap, PADDED_NODE_ID, np.int32)
+            uniq[: len(s["uniq"])] = s["uniq"]
+            nt = np.zeros(self.cap, np.int32)
+            nt[: len(s["neg_time"])] = s["neg_time"]
+            cands = np.full((width, self.Q), PADDED_NODE_ID, np.int32)
+            cands[: len(s["cands"])] = s["cands"]
+            batch.neg = jnp.asarray(uniq)
+            batch.neg_time = jnp.asarray(nt)
+            batch.neg_batch_list = jnp.asarray(cands)
+            batch.neg_valid = batch.neg_batch_list != PADDED_NODE_ID
+            return batch
+
+        def reset_state(self):
+            self.i = 0
+
+    hm = HookManager(keys=["train", "val", "test"])
+    hm.register("train", InjectTrainNeg(negs["train"]))
+    hm.register("val", InjectEvalNeg(negs["val"], cfg.bsize, cfg.n_cands))
+    hm.register("test", InjectEvalNeg(negs["test"], cfg.bsize, cfg.n_cands))
+    hm.register_shared(
+        RecencyNeighborHook(
+            cfg.n_nodes, list(n_nbrs),
+            ["edge_src", "edge_dst", "neg"],
+            ["edge_time", "edge_time", "neg_time"],
+            edge_dim=cfg.edge_dim,
+        )
+    )
+
+    encoder = TGAT(
+        node_dim=1, edge_dim=cfg.edge_dim, time_dim=cfg.time_dim,
+        embed_dim=cfg.embed_dim, num_layers=len(n_nbrs), n_heads=2, dropout=0.0,
+    )
+    decoder = LinkPredictor(node_dim=cfg.embed_dim, hidden_dim=cfg.embed_dim)
+    params = {
+        "enc": jax.tree_util.tree_map(
+            jnp.asarray, tgat_params(torch_modules["encoder"], len(n_nbrs))
+        ),
+        "dec": jax.tree_util.tree_map(
+            jnp.asarray, link_predictor_params(torch_modules["decoder"])
+        ),
+    }
+    opt = optax.adam(cfg.lr)
+    opt_state = opt.init(params)
+    sx = jnp.asarray(static_x)
+
+    def encode(p, batch):
+        return encoder.apply(
+            p["enc"], sx, batch.seed_nids, batch.seed_times, batch.nbr_nids,
+            batch.nbr_edge_x, batch.nbr_edge_time,
+        )
+
+    @jax.jit
+    def train_step(carry, batch):
+        params, opt_state = carry
+        B = batch.edge_src.shape[0]
+
+        def loss_fn(p):
+            z = encode(p, batch)
+            z_src, z_dst, z_neg = z[:B], z[B : 2 * B], z[2 * B : 3 * B]
+            pos = decoder.apply(p["dec"], z_src, z_dst)
+            neg = decoder.apply(p["dec"], z_src, z_neg)
+            m = batch.edge_valid.astype(pos.dtype)
+            d = jnp.maximum(m.sum(), 1.0)
+            return (
+                jnp.sum(optax.sigmoid_binary_cross_entropy(pos, jnp.ones_like(pos)) * m)
+                + jnp.sum(optax.sigmoid_binary_cross_entropy(neg, jnp.zeros_like(neg)) * m)
+            ) / d
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    @jax.jit
+    def eval_scores(params, batch):
+        z = encode(params, batch)
+        seeds = batch.seed_nids[0]
+        # Last occurrence of each id in the seed list (the reference builds a
+        # python dict, so later entries overwrite earlier ones).
+        S = seeds.shape[0]
+        lut = jnp.full((cfg.n_nodes + 1,), -1, jnp.int32)
+        rows = jnp.where(seeds >= 0, seeds, cfg.n_nodes)
+        lut = lut.at[rows].max(jnp.arange(S, dtype=jnp.int32), mode="drop")
+        B = batch.edge_src.shape[0]
+        Q = batch.neg_batch_list.shape[1]
+        src_idx = lut[jnp.clip(batch.edge_src, 0, cfg.n_nodes - 1)]
+        dst_idx = lut[jnp.clip(batch.edge_dst, 0, cfg.n_nodes - 1)]
+        cand_idx = lut[jnp.clip(batch.neg_batch_list, 0, cfg.n_nodes - 1)]
+        pos = decoder.apply(params["dec"], z[src_idx], z[dst_idx])
+        negs_ = decoder.apply(
+            params["dec"],
+            jnp.repeat(z[src_idx][:, None, :], Q, axis=1).reshape(B * Q, -1),
+            z[cand_idx.reshape(-1)],
+        ).reshape(B, Q)
+        return jax.nn.sigmoid(pos), jax.nn.sigmoid(negs_)
+
+    def train_epoch():
+        nonlocal params, opt_state
+        losses = []
+        loader = DGDataLoader(train_dg, cfg.bsize, hook_manager=hm)
+        with hm.activate("train"):
+            for batch in loader:
+                (params, opt_state), loss = train_step((params, opt_state), batch)
+                losses.append(float(loss))
+        return losses
+
+    def eval_epoch(dg, key, sets):
+        rr = []
+        loader = DGDataLoader(dg, cfg.bsize, hook_manager=hm)
+        with hm.activate(key):
+            for bi, batch in enumerate(loader):
+                pos, neg = eval_scores(params, batch)
+                n_real = len(sets[bi]["cands"])
+                rr.append(reciprocal_ranks(
+                    np.asarray(pos)[:n_real], np.asarray(neg)[:n_real]
+                ))
+        return float(np.mean(np.concatenate(rr)))
+
+    losses, val_mrrs, test_mrr = [], [], float("nan")
+    for epoch in range(cfg.epochs):
+        losses.append(train_epoch())
+        val_mrrs.append(eval_epoch(val_dg, "val", negs["val"]))
+        if epoch == cfg.epochs - 1:
+            test_mrr = eval_epoch(test_dg, "test", negs["test"])
+        else:
+            hm.reset_state()
+    return {"losses": losses, "val_mrr": val_mrrs, "test_mrr": test_mrr}
+
+
+def run_parity_tgat(cfg: ParityConfig, n_nbrs=(5, 5)) -> Dict:
+    splits = make_splits(cfg)
+    negs = precompute_negatives(cfg, splits)
+    ref = run_reference_tgat(cfg, splits, negs, n_nbrs)
+    ours = run_ours_tgat(cfg, splits, negs, n_nbrs, ref["modules"], ref["static_x"])
+    out = compare(ref, ours)
+    out["config"] = dataclasses.asdict(cfg)
+    out["model"] = "tgat"
+    out["n_nbrs"] = list(n_nbrs)
+    return out
 
 
 if __name__ == "__main__":

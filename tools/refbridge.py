@@ -428,6 +428,26 @@ def ctan_params(ref) -> dict:
     }
 
 
+def tgat_params(ref_m, num_layers: int) -> dict:
+    """Reference TGAT (tgm/nn/encoder/tgat.py:41-149) -> our flax TGAT."""
+    out = {
+        "time_encoder": time2vec_params(ref_m.time_encoder),
+    }
+    for i in range(num_layers):
+        attn = ref_m.attn[i]
+        out[f"attn_{i}"] = {
+            "W_Q": {"kernel": t2n(attn.W_Q.weight).T},
+            "W_KV": {"kernel": t2n(attn.W_KV.weight).T},
+            "W_O": dense_params(attn.W_O),
+            "layer_norm": layernorm_params(attn.layer_norm),
+        }
+        out[f"merge_layers_{i}"] = {
+            "Dense_0": dense_params(ref_m.merge_layers[i].fc1),
+            "Dense_1": dense_params(ref_m.merge_layers[i].fc2),
+        }
+    return {"params": out}
+
+
 def mlp_mixer_params(ref_mixer) -> dict:
     """Reference MLPMixer (tgm/nn/modules/mlp_mixer.py:5-100) -> ours."""
     return {
