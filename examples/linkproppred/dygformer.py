@@ -25,6 +25,7 @@ from tgm_tpu import DGDataLoader, DGraph
 from tgm_tpu.constants import PADDED_NODE_ID
 from tgm_tpu.eval.metrics import mrr_sum_count
 from tgm_tpu.hooks import (
+    seed_lookup,
     HookManager,
     RandomNegativeEdgeSamplerHook,
     RecencyNeighborHook,
@@ -176,19 +177,24 @@ def main():
         )
         pos_score = decoder.apply(params["dec"], zs, zd)
 
-        # negatives: (B*Q) pairs, sequences for src repeated per candidate
+        # negatives: (B*Q) pairs, sequences for src repeated per candidate.
+        # ``neg`` seeds are the unique candidate set; locate each candidate's
+        # neighbor rows via the seed-list lookup.
         negs = batch.neg_batch_list.reshape(-1)
         src_rep = jnp.repeat(batch.edge_src, Q)
         t_rep = jnp.repeat(batch.edge_time, Q)
         nbr_src_rep = jnp.repeat(nbr[:B], Q, axis=0)
         nt_src_rep = jnp.repeat(nt[:B], Q, axis=0)
         nx_src_rep = jnp.repeat(nx[:B], Q, axis=0)
-        nbr_neg = nbr[2 * B :]
+        lut = seed_lookup(batch.seed_nids[0], node_x.shape[0])
+        cand_rows = jnp.clip(
+            lut[jnp.clip(negs, 0, node_x.shape[0] - 1)], 0, nbr.shape[0] - 1
+        )
         zs2, zn = encoder.apply(
             params["enc"], node_x, src_rep, negs, t_rep,
-            jnp.concatenate([nbr_src_rep, nbr_neg]),
-            jnp.concatenate([nt_src_rep, nt[2 * B :]]),
-            jnp.concatenate([nx_src_rep, nx[2 * B :]]),
+            jnp.concatenate([nbr_src_rep, nbr[cand_rows]]),
+            jnp.concatenate([nt_src_rep, nt[cand_rows]]),
+            jnp.concatenate([nx_src_rep, nx[cand_rows]]),
         )
         neg_score = decoder.apply(params["dec"], zs2, zn).reshape(B, Q)
         return mrr_sum_count(

@@ -29,6 +29,7 @@ from tgm_tpu import DGDataLoader, DGraph
 from tgm_tpu.constants import PADDED_NODE_ID
 from tgm_tpu.eval.metrics import mrr_sum_count
 from tgm_tpu.hooks import (
+    seed_lookup,
     HookManager,
     RandomNegativeEdgeSamplerHook,
     RecencyNeighborHook,
@@ -182,7 +183,12 @@ def main():
         Q = batch.neg_batch_list.shape[1]
         z = encoder.apply(params["enc"], batch, node_x)
         z_src, z_dst = z[:B], z[B : 2 * B]
-        z_neg = z[2 * B :].reshape(B, Q, -1)
+        # ``neg`` seeds are the unique candidate set; map candidates to rows.
+        lut = seed_lookup(batch.seed_nids[0], node_x.shape[0])
+        cand_rows = jnp.clip(
+            lut[jnp.clip(batch.neg_batch_list, 0, node_x.shape[0] - 1)], 0, z.shape[0] - 1
+        )
+        z_neg = z[cand_rows]
         pos_score = decoder.apply(params["dec"], z_src, z_dst)
         neg_score = decoder.apply(
             params["dec"],

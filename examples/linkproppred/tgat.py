@@ -35,6 +35,7 @@ from tgm_tpu.hooks import (
     RandomNegativeEdgeSamplerHook,
     RecencyNeighborHook,
     TGBNegativeEdgeSamplerHook,
+    seed_lookup,
 )
 from tgm_tpu.nn import TGAT, LinkPredictor
 from tgm_tpu.util import enable_logging, log_metric, seed_everything
@@ -174,7 +175,13 @@ def main() -> None:
         Q = batch.neg_batch_list.shape[1]
         z = encode(params, batch)
         z_src, z_dst = z[:B], z[B : 2 * B]
-        z_neg = z[2 * B :].reshape(B, Q, -1)
+        # ``neg`` seeds are the UNIQUE candidate set (reference semantics);
+        # locate each candidate's embedding row via the seed-list lookup.
+        lut = seed_lookup(batch.seed_nids[0], num_nodes)
+        cand_rows = jnp.clip(
+            lut[jnp.clip(batch.neg_batch_list, 0, num_nodes - 1)], 0, z.shape[0] - 1
+        )
+        z_neg = z[cand_rows]
         pos_score = decoder.apply(params["dec"], z_src, z_dst)
         neg_score = decoder.apply(
             params["dec"],

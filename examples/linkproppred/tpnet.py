@@ -21,7 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 from examples._linkpred_common import base_parser, run_epochs, setup_linkpred
 from tgm_tpu.constants import PADDED_NODE_ID
 from tgm_tpu.eval.metrics import mrr_sum_count
-from tgm_tpu.hooks import RecencyNeighborHook
+from tgm_tpu.hooks import RecencyNeighborHook, seed_lookup
 from tgm_tpu.nn import LinkPredictor, RandomProjectionModule, TPNet
 from tgm_tpu.nn.encoder.tpnet import rp_update
 
@@ -127,16 +127,21 @@ def main():
         negs = batch.neg_batch_list.reshape(-1)
         src_rep = jnp.repeat(batch.edge_src, Q)
         t_rep = jnp.repeat(batch.edge_time, Q)
-        # Seed layout in hook outputs: [src(B) ‖ dst(B) ‖ neg(B*Q)].
+        # ``neg`` seeds are the unique candidate set; locate each candidate's
+        # neighbor rows via the seed-list lookup.
         nbr_all, nt_all, nx_all = batch.nbr_nids[0], batch.nbr_edge_time[0], batch.nbr_edge_x[0]
         nbr_src = jnp.repeat(nbr_all[:B], Q, axis=0)
         nt_src = jnp.repeat(nt_all[:B], Q, axis=0)
         nx_src = jnp.repeat(nx_all[:B], Q, axis=0)
+        lut = seed_lookup(batch.seed_nids[0], node_x.shape[0])
+        cand_rows = jnp.clip(
+            lut[jnp.clip(negs, 0, node_x.shape[0] - 1)], 0, nbr_all.shape[0] - 1
+        )
         zs2, zn = encoder.apply(
             params["enc"], node_x, src_rep, negs, t_rep,
-            jnp.concatenate([nbr_src, nbr_all[2 * B :]]),
-            jnp.concatenate([nt_src, nt_all[2 * B :]]),
-            jnp.concatenate([nx_src, nx_all[2 * B :]]),
+            jnp.concatenate([nbr_src, nbr_all[cand_rows]]),
+            jnp.concatenate([nt_src, nt_all[cand_rows]]),
+            jnp.concatenate([nx_src, nx_all[cand_rows]]),
             rp_state,
         )
         neg = decoder.apply(params["dec"], zs2, zn).reshape(B, Q)

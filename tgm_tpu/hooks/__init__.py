@@ -1,7 +1,7 @@
 from .base import BaseDGHook, DGHook, SeedableHook, StatefulHook, StatelessHook
 from .registry import hook, list_hooks
 from .manager import CORE_ATTRIBUTE, HookManager
-from .dedup import DeduplicationHook, map_to_local
+from .dedup import DeduplicationHook, map_to_local, seed_lookup
 from .device import DeviceTransferHook, PinMemoryHook
 from .negatives import (
     HistoricalNegativeEdgeSamplerHook,
@@ -41,4 +41,5 @@ __all__ = [
     "hook",
     "list_hooks",
     "map_to_local",
+    "seed_lookup",
 ]

@@ -88,3 +88,19 @@ def map_to_local(g2l: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     """Convenience: map global ids through the dense dedup table (PAD-safe)."""
     n = g2l.shape[0] - 1
     return g2l[jnp.where((ids >= 0) & (ids < n), ids, n)]
+
+
+def seed_lookup(seeds: jnp.ndarray, num_nodes: int) -> jnp.ndarray:
+    """Dense id -> row table for a seed list; LAST occurrence wins, PAD-safe.
+
+    Mirrors the reference examples' ``{nid: i for i, nid in enumerate(seeds)}``
+    dict (later duplicates overwrite — examples/linkproppred/tgat.py:115).
+    Use to locate eval candidates' rows: the TGB hook's unique-negative
+    section trails the seed list, so each candidate's last occurrence is its
+    own row. Unknown ids map to -1.
+    """
+    S = seeds.shape[0]
+    lut = jnp.full((num_nodes + 1,), -1, jnp.int32)
+    rows = jnp.where((seeds >= 0) & (seeds < num_nodes), seeds, num_nodes)
+    lut = lut.at[rows].max(jnp.arange(S, dtype=jnp.int32), mode="drop")
+    return lut.at[num_nodes].set(-1)
