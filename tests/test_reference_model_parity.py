@@ -316,6 +316,141 @@ def test_tgcn_snapshot_recurrence_parity(ref):
         )
 
 
+def test_gclstm_snapshot_recurrence_parity(ref):
+    """GC-LSTM parity: ChebConv(K=3)-gated LSTM cell
+    (tgm/nn/encoder/gclstm.py:40-227) over several snapshots with carried
+    (H, C) state. Symmetric self-loop-free edge lists (PyG's ChebConv
+    removes self loops before normalizing)."""
+    import jax.numpy as jnp
+
+    from tgm.nn.encoder import GCLSTM as RefGCLSTM
+
+    from tools.refbridge import cheb_conv_params, t2n
+    from tgm_tpu.nn.encoder.gclstm import GCLSTM
+
+    torch.manual_seed(6)
+    rng = np.random.default_rng(6)
+    N, E, IN, OUT, K = 10, 12, 4, 6, 3
+
+    ref_m = RefGCLSTM(in_channels=IN, out_channels=OUT, K=K).eval()
+    ours = GCLSTM(in_channels=IN, out_channels=OUT, K=K)
+    params = {
+        "params": {
+            **{f"W_{g}": t2n(getattr(ref_m, f"W_{g}")) for g in "ifco"},
+            **{f"b_{g}": t2n(getattr(ref_m, f"b_{g}")) for g in "ifco"},
+            **{
+                f"conv_{g}": cheb_conv_params(getattr(ref_m, f"conv_{g}"))
+                for g in "ifco"
+            },
+        }
+    }
+
+    H_ref = C_ref = H = C = None
+    for step in range(3):
+        x = rng.normal(size=(N, IN)).astype(np.float32)
+        a = rng.integers(0, N, E)
+        b = (a + 1 + rng.integers(0, N - 1, E)) % N  # no self loops
+        es = np.concatenate([a, b])  # symmetric listing
+        ed = np.concatenate([b, a])
+        w = np.concatenate([rng.random(E)] * 2).astype(np.float32) + 0.5
+        with torch.no_grad():
+            H_ref, C_ref = ref_m(
+                torch.from_numpy(x),
+                torch.from_numpy(np.stack([es, ed]).astype(np.int64)),
+                torch.from_numpy(w),
+                H_ref, C_ref,
+            )
+        H, C = ours.apply(
+            params, jnp.asarray(x), jnp.asarray(es.astype(np.int32)),
+            jnp.asarray(ed.astype(np.int32)), jnp.asarray(w), H, C,
+        )
+        np.testing.assert_allclose(
+            np.asarray(H), H_ref.numpy(), rtol=3e-5, atol=3e-6,
+            err_msg=f"H snapshot {step}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(C), C_ref.numpy(), rtol=3e-5, atol=3e-6,
+            err_msg=f"C snapshot {step}",
+        )
+
+
+@pytest.mark.parametrize("update", ["learnable", "gru", "mlp", "moving"])
+def test_roland_snapshot_recurrence_parity(ref, update):
+    """ROLAND parity (tgm/nn/encoder/roland.py:24-151) across the embedding
+    update mechanisms, with previous embeddings carried over snapshots."""
+    import jax.numpy as jnp
+
+    from tgm.nn.encoder import ROLAND as RefROLAND
+
+    from tools.refbridge import dense_params, gcn_conv_params, t2n
+    from tgm_tpu.nn.encoder.roland import ROLAND
+
+    torch.manual_seed(7)
+    rng = np.random.default_rng(7)
+    N, E, IN, OUT = 9, 14, 4, 6
+
+    ref_m = RefROLAND(input_channel=IN, out_channel=OUT, num_nodes=N,
+                      dropout=0.0, update=update).eval()
+    ours = ROLAND(input_channel=IN, out_channel=OUT, num_nodes=N,
+                  dropout=0.0, update=update)
+
+    p = {
+        "conv1": gcn_conv_params(ref_m.conv1),
+        "conv2": gcn_conv_params(ref_m.conv2),
+    }
+    if update == "learnable":
+        p["tau"] = t2n(ref_m.tau)
+    elif update == "gru":
+        for g in (1, 2):
+            cell = getattr(ref_m, f"gru{g}")
+            H = OUT
+            w_ih, w_hh = t2n(cell.weight_ih), t2n(cell.weight_hh)
+            b_ih, b_hh = t2n(cell.bias_ih), t2n(cell.bias_hh)
+            r, z, n = slice(0, H), slice(H, 2 * H), slice(2 * H, 3 * H)
+            p[f"gru{g}"] = {
+                "ir": {"kernel": w_ih[r].T, "bias": b_ih[r] + b_hh[r]},
+                "iz": {"kernel": w_ih[z].T, "bias": b_ih[z] + b_hh[z]},
+                "in": {"kernel": w_ih[n].T, "bias": b_ih[n]},
+                "hr": {"kernel": w_hh[r].T},
+                "hz": {"kernel": w_hh[z].T},
+                "hn": {"kernel": w_hh[n].T, "bias": b_hh[n]},
+            }
+    elif update == "mlp":
+        p["mlp1"] = dense_params(ref_m.mlp1)
+        p["mlp2"] = dense_params(ref_m.mlp2)
+    params = {"params": p}
+
+    prev_ref = None
+    prev = None
+    n_prev_edges = 7
+    for step in range(3):
+        x = rng.normal(size=(N, IN)).astype(np.float32)
+        es = rng.integers(0, N, E)
+        ed = rng.integers(0, N, E)
+        with torch.no_grad():
+            out_ref = ref_m(
+                torch.from_numpy(x),
+                torch.from_numpy(np.stack([es, ed]).astype(np.int64)),
+                previous_embeddings=prev_ref,
+                num_current_edges=E,
+                num_previous_edges=n_prev_edges,
+            )
+        prev_ref = [out_ref[0].clone(), out_ref[1].clone()]
+
+        _, embs = ours.apply(
+            params, jnp.asarray(x), jnp.asarray(es.astype(np.int32)),
+            jnp.asarray(ed.astype(np.int32)), prev,
+            num_current_edges=jnp.asarray(float(E)),
+            num_previous_edges=jnp.asarray(float(n_prev_edges)),
+        )
+        prev = embs
+        for li in range(2):
+            np.testing.assert_allclose(
+                np.asarray(embs[li]), out_ref[li].numpy(), rtol=3e-5, atol=3e-6,
+                err_msg=f"{update} layer {li} snapshot {step}",
+            )
+
+
 @pytest.mark.parametrize("k", [2, 4, 8])
 @pytest.mark.parametrize("decay", [False, True])
 def test_tncn_predictor_parity(ref, k, decay):

@@ -193,6 +193,62 @@ def gcn_conv_params(conv) -> dict:
     return out
 
 
+class ChebConv(torch.nn.Module):
+    """Functional stub of torch_geometric.nn.ChebConv (sym normalization,
+    lambda_max=2): scaled Laplacian L_hat = -D^-1/2 A D^-1/2, Chebyshev
+    recurrence T_k = 2 L_hat T_{k-1} - T_{k-2}, out = sum_k T_k W_k + b.
+    Assumes a self-loop-free edge list."""
+
+    def __init__(self, in_channels, out_channels, K, normalization="sym", bias=True):
+        super().__init__()
+        assert normalization == "sym"
+        self.K = K
+        self.lins = torch.nn.ModuleList(
+            [torch.nn.Linear(in_channels, out_channels, bias=False) for _ in range(K)]
+        )
+        self.bias = torch.nn.Parameter(torch.zeros(out_channels)) if bias else None
+
+    def forward(self, x, edge_index, edge_weight=None, lambda_max=None):
+        N = x.size(0)
+        src, dst = edge_index[0].long(), edge_index[1].long()
+        w = (
+            edge_weight.float()
+            if edge_weight is not None
+            else torch.ones(src.numel(), dtype=x.dtype)
+        )
+        deg = torch.zeros(N, dtype=x.dtype).scatter_add_(0, dst, w)
+        dis = deg.pow(-0.5)
+        dis[torch.isinf(dis)] = 0.0
+        norm = dis[src] * w * dis[dst]
+
+        def lap(h):
+            out = torch.zeros_like(h).scatter_add_(
+                0, dst.view(-1, 1).expand(-1, h.size(1)), h[src] * norm[:, None]
+            )
+            return -out
+
+        tx0 = x
+        out = self.lins[0](tx0)
+        if self.K > 1:
+            tx1 = lap(x)
+            out = out + self.lins[1](tx1)
+            for k in range(2, self.K):
+                tx2 = 2 * lap(tx1) - tx0
+                out = out + self.lins[k](tx2)
+                tx0, tx1 = tx1, tx2
+        if self.bias is not None:
+            out = out + self.bias
+        return out
+
+
+def cheb_conv_params(conv) -> dict:
+    """ChebConv stub -> our tgm_tpu ChebConv param dict."""
+    out = {f"lin_{k}": {"kernel": t2n(lin.weight).T} for k, lin in enumerate(conv.lins)}
+    if conv.bias is not None:
+        out["bias"] = t2n(conv.bias)
+    return out
+
+
 class AntiSymmetricConv(torch.nn.Module):
     """Functional stub of torch_geometric.nn.AntiSymmetricConv.
 
@@ -236,11 +292,17 @@ def stub_pyg() -> None:
     models = types.ModuleType("torch_geometric.nn.models")
     models_tgn = types.ModuleType("torch_geometric.nn.models.tgn")
 
-    for name in ("ChebConv", "Linear"):
-        setattr(nn, name, type(name, (_Unused,), {}))
+    class PygLinear(torch.nn.Linear):
+        """torch_geometric.nn.Linear stub (PyG arg names; same math)."""
+
+        def __init__(self, in_channels, out_channels, bias=True, **kwargs):
+            super().__init__(in_channels, out_channels, bias=bias)
+
+    nn.Linear = PygLinear
     nn.TransformerConv = TransformerConv
     nn.AntiSymmetricConv = AntiSymmetricConv
     nn.GCNConv = GCNConv
+    nn.ChebConv = ChebConv
     utils.scatter = pyg_scatter
 
     def glorot(x):
