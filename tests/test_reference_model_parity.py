@@ -518,3 +518,59 @@ def test_tncn_predictor_parity(ref, k, decay):
         edge_time=jnp.asarray(pos_t.astype(np.int32)) if decay else None,
     )
     np.testing.assert_allclose(np.asarray(out), out_ref, rtol=2e-4, atol=2e-5)
+
+
+def test_batch_analytics_hook_parity(ref):
+    """Vectorized batch analytics vs the reference's dict/unique-based hook
+    (tgm/hooks/analytics/batch_analytics.py:13-129) on identical batches with
+    node events, repeated edges, and repeated node events."""
+    import torch as _torch
+
+    from tgm import DGraph as RefDGraph
+    from tgm.data import DGData as RefDGData
+    from tgm.hooks import BatchAnalyticsHook as RefHook
+
+    from tgm_tpu import DGData, DGraph
+    from tgm_tpu.hooks import BatchAnalyticsHook
+
+    rng = np.random.default_rng(8)
+    E, NX, N = 20, 8, 12
+    src = rng.integers(0, N, E)
+    dst = rng.integers(0, N, E)
+    t_all = np.sort(rng.integers(0, 40, E + NX))
+    te, tn = t_all[:E], t_all[E:]
+    # Force repeated edge triples and node events.
+    src[3], dst[3], te[3] = src[2], dst[2], te[2]
+    nids = rng.integers(0, N, NX)
+    nids[5] = nids[4]
+    tn[5] = tn[4]
+    nx = rng.normal(size=(NX, 2)).astype(np.float32)
+
+    ref_data = RefDGData.from_raw(
+        edge_time=_torch.from_numpy(te.astype(np.int64)),
+        edge_index=_torch.from_numpy(np.stack([src, dst], 1).astype(np.int64)),
+        node_x_time=_torch.from_numpy(tn.astype(np.int64)),
+        node_x_nids=_torch.from_numpy(nids.astype(np.int64)),
+        node_x=_torch.from_numpy(nx),
+        time_delta="s",
+    )
+    ref_dg = RefDGraph(ref_data, device="cpu")
+    ref_batch = ref_dg.materialize()
+    ref_batch = RefHook()(ref_dg, ref_batch)
+
+    data = DGData.from_raw(
+        edge_time=te, edge_index=np.stack([src, dst], 1),
+        node_x_time=tn, node_x_nids=nids, node_x=nx, time_delta="s",
+    )
+    dg = DGraph(data)
+    batch = dg.materialize()
+    batch = BatchAnalyticsHook()(dg, batch)
+
+    for attr in (
+        "num_edge_events", "num_node_events", "num_unique_timestamps",
+        "num_unique_nodes", "num_repeated_edge_events", "num_repeated_node_events",
+    ):
+        assert int(getattr(batch, attr)) == int(getattr(ref_batch, attr)), attr
+    np.testing.assert_allclose(
+        float(batch.avg_degree), float(ref_batch.avg_degree), rtol=1e-6
+    )
