@@ -164,3 +164,27 @@ def test_tgat_jit_and_grad():
     flat = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(x)).all() for x in flat)
     assert any(float(jnp.abs(x).sum()) > 0 for x in flat)
+
+
+def test_torch_gru_cell_matches_torch():
+    """TorchGRUCell: exact forward parity with torch.nn.GRUCell and the same
+    parameter leaf structure (required for Adam-trajectory parity)."""
+    torch = pytest.importorskip("torch")
+    from tools.refbridge import gru_params
+    from tgm_tpu.nn.modules import TorchGRUCell
+
+    torch.manual_seed(0)
+    H, IN, B = 7, 5, 4
+    cell = torch.nn.GRUCell(IN, H)
+    ours = TorchGRUCell(features=H)
+    p = {"params": gru_params(cell)}
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(B, IN)).astype(np.float32)
+    h = rng.normal(size=(B, H)).astype(np.float32)
+    with torch.no_grad():
+        want = cell(torch.from_numpy(x), torch.from_numpy(h)).numpy()
+    got, got2 = ours.apply(p, jnp.asarray(h), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(got2))
+    # Leaf names/shapes mirror torch exactly (wi/bi/wh/bh).
+    assert set(p["params"]) == {"wi", "bi", "wh", "bh"}
