@@ -33,7 +33,11 @@ from tgm_tpu.hooks import (
     TGBNegativeEdgeSamplerHook,
 )
 from tgm_tpu.nn import LinkPredictor
-from tgm_tpu.nn.encoder.tgn import GraphAttentionEmbedding, TGNMemory
+from tgm_tpu.nn.encoder.tgn import (
+    GraphAttentionEmbedding,
+    GraphAttentionEmbeddingRowwise,
+    TGNMemory,
+)
 from tgm_tpu.train.programs import build_tgn_hook_cores
 from tgm_tpu.util import enable_logging, log_metric, seed_everything
 
@@ -55,6 +59,12 @@ def parse_args() -> argparse.Namespace:
         "--fast", action="store_true",
         help="train via the fully-scanned TGNPipeline (one XLA program per "
         "epoch, dense rowwise attention) instead of the hook-manager path",
+    )
+    p.add_argument(
+        "--encoder", type=str, default="rowwise", choices=["rowwise", "segment"],
+        help="rowwise: dense per-seed attention (textbook TGN, TPU-fast, no "
+        "dedup); segment: the reference example's exact dedup + "
+        "segment-softmax subgraph wiring",
     )
     p.add_argument(
         "--eager", action="store_true",
@@ -130,7 +140,10 @@ def main() -> None:
             edge_dim=edge_dim,
         )
     )
-    hm.register_shared(DeduplicationHook(num_nodes, seed_nodes_keys=["neg", "nbr_nids"]))
+    if args.encoder == "segment":
+        hm.register_shared(
+            DeduplicationHook(num_nodes, seed_nodes_keys=["neg", "nbr_nids"])
+        )
 
     # --- model -------------------------------------------------------- #
     memory = TGNMemory(
@@ -139,7 +152,11 @@ def main() -> None:
         memory_dim=args.memory_dim,
         time_dim=args.time_dim,
     )
-    encoder = GraphAttentionEmbedding(
+    enc_cls = (
+        GraphAttentionEmbeddingRowwise if args.encoder == "rowwise"
+        else GraphAttentionEmbedding
+    )
+    encoder = enc_cls(
         in_channels=args.memory_dim,
         out_channels=args.embed_dim,
         msg_dim=edge_dim,
@@ -155,22 +172,33 @@ def main() -> None:
 
     nids0 = jnp.zeros(8, jnp.int32)
     mem_params = memory.init(k1, mem_state, nids0)
-    enc_params = encoder.init(
-        k2,
-        jnp.zeros((8, args.memory_dim)),
-        jnp.zeros(8, jnp.int32),
-        jnp.zeros(4, jnp.int32),
-        jnp.zeros(4, jnp.int32),
-        jnp.zeros(4, jnp.int32),
-        jnp.zeros((4, edge_dim)),
-        jnp.ones(4, bool),
-    )
+    if args.encoder == "rowwise":
+        enc_params = encoder.init(
+            k2,
+            jnp.zeros((4, args.memory_dim)),
+            jnp.zeros((4, 3, args.memory_dim)),
+            jnp.zeros(4, jnp.int32),
+            jnp.zeros((4, 3), jnp.int32),
+            jnp.zeros((4, 3, edge_dim)),
+            jnp.ones((4, 3), bool),
+        )
+    else:
+        enc_params = encoder.init(
+            k2,
+            jnp.zeros((8, args.memory_dim)),
+            jnp.zeros(8, jnp.int32),
+            jnp.zeros(4, jnp.int32),
+            jnp.zeros(4, jnp.int32),
+            jnp.zeros(4, jnp.int32),
+            jnp.zeros((4, edge_dim)),
+            jnp.ones(4, bool),
+        )
     dec_params = decoder.init(k3, jnp.zeros((1, args.embed_dim)), jnp.zeros((1, args.embed_dim)))
     params = {"mem": mem_params, "enc": enc_params, "dec": dec_params}
     opt_state = opt.init(params)
 
     train_core, eval_core = build_tgn_hook_cores(
-        memory, encoder, decoder, opt, num_nodes
+        memory, encoder, decoder, opt, num_nodes, style=args.encoder
     )
 
     train_step = jax.jit(train_core, donate_argnums=(0,))

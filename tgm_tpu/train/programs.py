@@ -55,16 +55,32 @@ def build_tgn_hook_cores(
     decoder: Any,
     opt: Any,
     num_nodes: int,
+    style: str = "segment",
 ) -> Tuple[Callable, Callable]:
     """Return ``(train_core, eval_core)`` pure transitions.
 
     ``train_core((params, opt_state, mem_state, rng), batch) -> (carry, loss)``
     ``eval_core((params, mem_state), batch) -> (carry, (mrr_sum, mrr_count))``
 
-    Batches must carry hook products: ``neg`` (+ ``neg_batch_list`` for eval),
-    recency outputs (``seed_nids``/``nbr_*``) and dedup outputs
-    (``unique_nids``/``global_to_local``).
+    ``style`` selects the attention wiring:
+
+    * ``"segment"`` — the reference example's exact formulation: dedup'd batch
+      subgraph + segment-softmax TransformerConv aggregated at neighbor rows
+      (pass a ``GraphAttentionEmbedding``; batches need dedup products).
+      Scatter-heavy — measured 4.3x slower than rowwise on v5e.
+    * ``"rowwise"`` — the textbook TGN formulation: each seed attends over its
+      own K recent neighbors as dense (S, K) einsums (pass a
+      ``GraphAttentionEmbeddingRowwise``; no dedup hook needed). This is the
+      TPU-fast default of the examples and ``bench.py --model tgn-hooks``.
+
+    Batches must carry hook products: ``neg`` (+ ``neg_batch_list`` for eval)
+    and recency outputs (``seed_nids``/``nbr_*``); segment style additionally
+    needs dedup outputs (``unique_nids``/``global_to_local``).
     """
+    if style not in ("segment", "rowwise"):
+        raise ValueError(f"Unknown style: {style!r}")
+    if style == "rowwise":
+        return _build_rowwise_cores(memory, encoder, decoder, opt, num_nodes)
 
     def raw_msg(batch):
         if batch.edge_x is not None:
@@ -142,6 +158,105 @@ def build_tgn_hook_cores(
         s, c = mrr_sum_count(
             pos_score,
             neg_score,
+            neg_valid=batch.neg_batch_list != PADDED_NODE_ID,
+            edge_valid=batch.edge_valid,
+        )
+        # Reference eval-mode update_state: store messages, then apply them.
+        mem_state = tgn_store_messages(
+            mem_state, batch.edge_src, batch.edge_dst, batch.edge_time,
+            raw_msg(batch), batch.edge_valid,
+        )
+        nodes = jnp.concatenate([batch.edge_src, batch.edge_dst])
+        nodes = jnp.where(
+            jnp.concatenate([batch.edge_valid, batch.edge_valid]), nodes, num_nodes
+        )
+        mem_state = memory.apply(params["mem"], mem_state, nodes, method=TGNMemory.flush)
+        return (params, mem_state), (s, c)
+
+    return train_core, eval_core
+
+
+def _build_rowwise_cores(memory, encoder, decoder, opt, num_nodes):
+    """Rowwise-style cores (see build_tgn_hook_cores)."""
+    from ..hooks.dedup import seed_lookup
+
+    def raw_msg(batch):
+        if batch.edge_x is not None:
+            return batch.edge_x
+        return jnp.zeros((batch.edge_src.shape[0], 0), jnp.float32)
+
+    def encode(p, mem_state, batch, training, dropout_rng=None):
+        seeds = batch.seed_nids[0]  # (S,)
+        nbrs = batch.nbr_nids[0]  # (S, K)
+        S, K = nbrs.shape
+        rows = jnp.concatenate([seeds, nbrs.reshape(-1)])
+        z_mem, last_upd = memory.apply(
+            p["mem"], mem_state, rows, training, method=TGNMemory.stage
+        )
+        M = z_mem.shape[-1]
+        rngs = None if dropout_rng is None else {"dropout": dropout_rng}
+        return encoder.apply(
+            p["enc"],
+            z_mem[:S],
+            z_mem[S:].reshape(S, K, M),
+            last_upd[:S],
+            batch.nbr_edge_time[0],
+            batch.nbr_edge_x[0],
+            nbrs != PADDED_NODE_ID,
+            deterministic=dropout_rng is None,
+            rngs=rngs,
+        )
+
+    def commit(p, mem_state, batch):
+        nodes = jnp.concatenate([batch.edge_src, batch.edge_dst])
+        nodes = jnp.where(
+            jnp.concatenate([batch.edge_valid, batch.edge_valid]), nodes, num_nodes
+        )
+        mem_state = memory.apply(p["mem"], mem_state, nodes, method=TGNMemory.flush)
+        return tgn_store_messages(
+            mem_state, batch.edge_src, batch.edge_dst, batch.edge_time,
+            raw_msg(batch), batch.edge_valid,
+        )
+
+    def train_core(carry, batch):
+        params, opt_state, mem_state, rng = carry
+        rng, dropout_rng = jax.random.split(rng)
+        B = batch.edge_src.shape[0]
+
+        def loss_fn(p):
+            z = encode(p, mem_state, batch, training=True, dropout_rng=dropout_rng)
+            pos = decoder.apply(p["dec"], z[:B], z[B : 2 * B])
+            neg = decoder.apply(p["dec"], z[:B], z[2 * B : 3 * B])
+            m = batch.edge_valid
+            return bce_with_logits(pos, jnp.ones_like(pos), m) + bce_with_logits(
+                neg, jnp.zeros_like(neg), m
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        mem_state = commit(params, mem_state, batch)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, mem_state, rng), loss
+
+    def eval_core(carry, batch):
+        params, mem_state = carry
+        B = batch.edge_src.shape[0]
+        Q = batch.neg_batch_list.shape[1]
+        z = encode(params, mem_state, batch, training=False)
+        # Candidates live in the trailing unique-negative seed section; locate
+        # each candidate's row via the seed-list lookup.
+        lut = seed_lookup(batch.seed_nids[0], num_nodes)
+        cand_rows = jnp.clip(
+            lut[jnp.clip(batch.neg_batch_list, 0, num_nodes - 1)], 0, z.shape[0] - 1
+        )
+        pos_score = decoder.apply(params["dec"], z[:B], z[B : 2 * B])
+        neg_score = decoder.apply(
+            params["dec"],
+            jnp.repeat(z[:B][:, None, :], Q, axis=1).reshape(B * Q, -1),
+            z[cand_rows].reshape(B * Q, -1),
+        ).reshape(B, Q)
+        s, c = mrr_sum_count(
+            pos_score, neg_score,
             neg_valid=batch.neg_batch_list != PADDED_NODE_ID,
             edge_valid=batch.edge_valid,
         )
