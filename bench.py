@@ -173,6 +173,10 @@ def main() -> None:
     p.add_argument("--smoke", action="store_true", help="tiny shapes, fast check")
     p.add_argument("--bsize", type=int, default=200)
     p.add_argument("--epochs", type=int, default=2, help="timed epochs after warmup")
+    p.add_argument("--unroll", type=int, default=1,
+                   help="lax.scan unroll factor for the epoch body")
+    p.add_argument("--dedup-staging", action="store_true",
+                   help="stage unique memory rows only (sort + inverse gather)")
     p.add_argument(
         "--with-eval", action="store_true",
         help="also time a scanned candidate-list eval epoch (tgn only; adds "
@@ -246,9 +250,11 @@ def main() -> None:
             neg_low=int(dg.edge_dst.min()),
             neg_high=int(dg.edge_dst.max()),
             edge_x_full=stream.edge_x,
+            dedup_staging=args.dedup_staging,
         )
     carry = pipe.init_carry(jax.random.PRNGKey(0))
-    epoch = jit_scan_epoch(pipe.train_step, stream.batch_at, stream.num_batches)
+    epoch = jit_scan_epoch(pipe.train_step, stream.batch_at, stream.num_batches,
+                           unroll=args.unroll)
 
     # Warmup / compile.
     carry, losses = epoch(carry)

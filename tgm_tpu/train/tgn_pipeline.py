@@ -72,6 +72,7 @@ class TGNPipeline:
         rowwise: bool = True,
         edge_x_full: Any = None,
         packed_state: bool = False,
+        dedup_staging: bool = False,
     ) -> None:
         self.num_nodes = num_nodes
         self.state_row_multiple = state_row_multiple
@@ -87,6 +88,9 @@ class TGNPipeline:
         # bench dropped 186k -> 59k edges/s. Kept because it is bit-equivalent
         # (tests) and other backends/shapes may prefer it.
         self.packed_state = packed_state
+        # Stage each unique row once (seeds+neighbors carry ~30% duplicates at
+        # wiki shapes) at the cost of one sort + an inverse gather per step.
+        self.dedup_staging = dedup_staging
         # rowwise=True uses the dense per-seed attention (no segment scatters,
         # no dedup) — the TPU speed-of-light layout; rowwise=False keeps the
         # reference example's dedup + segment-softmax subgraph aggregation.
@@ -176,10 +180,22 @@ class TGNPipeline:
         if self.rowwise:
             S = seeds.shape[0]
             rows = jnp.concatenate([seeds, nbr_ids.reshape(-1)])
-            z_mem, last_upd = self.memory.apply(
-                params["mem"], mem_state, rows,
-                method=TGNMemory.stage_packed if self.packed_state else TGNMemory.stage,
+            stage_method = (
+                TGNMemory.stage_packed if self.packed_state else TGNMemory.stage
             )
+            if self.dedup_staging:
+                keyed = jnp.where((rows >= 0) & (rows < n), rows, n)
+                uniq, inv = jnp.unique(
+                    keyed, size=rows.shape[0], fill_value=n, return_inverse=True
+                )
+                z_u, lu_u = self.memory.apply(
+                    params["mem"], mem_state, uniq, method=stage_method
+                )
+                z_mem, last_upd = z_u[inv], lu_u[inv]
+            else:
+                z_mem, last_upd = self.memory.apply(
+                    params["mem"], mem_state, rows, method=stage_method
+                )
             z = self.encoder.apply(
                 params["enc"],
                 z_mem[:S],
