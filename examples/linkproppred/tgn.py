@@ -1,9 +1,11 @@
 """TGN link prediction.
 
 Parity: /root/reference/examples/linkproppred/tgn.py — TGN memory + staged
-message application, GraphAttentionEmbedding over the recency-sampled batch
-subgraph (local ids via the dedup hook), LinkPredictor decoder, BCE training,
-TGB MRR evaluation, per-epoch hook/memory reset.
+message application, attention over recency-sampled neighbors, LinkPredictor
+decoder, BCE training, TGB MRR evaluation, per-epoch hook/memory reset.
+``--encoder segment`` reproduces the reference example's exact dedup +
+segment-softmax subgraph wiring; the default ``rowwise`` encoder is the
+textbook TGN formulation (dense per-seed attention, TPU-fast).
 
 TPU-first: the memory is a ``TGNMemoryState`` pytree threaded through one
 jitted train step (hook outputs + staging + embedding + loss + flush + message
@@ -92,6 +94,7 @@ def run_fast(args) -> None:
         memory_dim=args.memory_dim, embed_dim=args.embed_dim,
         time_dim=args.time_dim, num_nbrs=args.n_nbrs[0], lr=args.lr,
         neg_low=int(dg.edge_dst.min()), neg_high=int(dg.edge_dst.max()),
+        edge_x_full=stream.edge_x,
     )
     carry = pipe.init_carry(jax.random.PRNGKey(args.seed))
     epoch = jit_scan_epoch(pipe.train_step, stream.batch_at, stream.num_batches)
