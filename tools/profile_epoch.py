@@ -71,7 +71,12 @@ def run_and_trace(args) -> str:
 
     from bench import WIKI_EDGE_DIM, WIKI_EDGES, WIKI_NODES, build_stream
     from tgm_tpu.core.graph import DGraph
-    from tgm_tpu.train import DeviceEdgeStream, TGNPipeline, jit_scan_epoch
+    from tgm_tpu.train import (
+        DeviceEdgeStream,
+        TGATPipeline,
+        TGNPipeline,
+        jit_scan_epoch,
+    )
 
     if args.smoke:
         nn_, ne, ed = 500, 8_000, 32
@@ -80,12 +85,25 @@ def run_and_trace(args) -> str:
     data = build_stream(nn_, ne, ed)
     dg = DGraph(data)
     stream = DeviceEdgeStream(dg, args.bsize)
-    pipe = TGNPipeline(
-        num_nodes=nn_, edge_dim=ed, memory_dim=100, embed_dim=100,
-        time_dim=100, num_nbrs=10, lr=1e-4,
-        neg_low=int(dg.edge_dst.min()), neg_high=int(dg.edge_dst.max()),
-        edge_x_full=stream.edge_x,
-    )
+    if args.model == "tgat":
+        import jax.numpy as jnp
+
+        node_x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(nn_, 1)).astype(np.float32)
+        )
+        pipe = TGATPipeline(
+            num_nodes=nn_, edge_dim=ed, node_x=node_x, num_nbrs=(10, 10),
+            time_dim=100, embed_dim=100, lr=1e-4,
+            neg_low=int(dg.edge_dst.min()), neg_high=int(dg.edge_dst.max()),
+            edge_x_full=stream.edge_x,
+        )
+    else:
+        pipe = TGNPipeline(
+            num_nodes=nn_, edge_dim=ed, memory_dim=100, embed_dim=100,
+            time_dim=100, num_nbrs=10, lr=1e-4,
+            neg_low=int(dg.edge_dst.min()), neg_high=int(dg.edge_dst.max()),
+            edge_x_full=stream.edge_x,
+        )
     carry = pipe.init_carry(jax.random.PRNGKey(0))
     epoch = jit_scan_epoch(pipe.train_step, stream.batch_at, stream.num_batches)
 
@@ -110,6 +128,7 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--bsize", type=int, default=200)
+    p.add_argument("--model", type=str, default="tgn", choices=["tgn", "tgat"])
     p.add_argument("--trace-dir", type=str, default="/tmp/tgm_trace")
     p.add_argument("--parse-only", action="store_true",
                    help="only parse an existing trace dir")
