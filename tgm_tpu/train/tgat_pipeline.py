@@ -155,3 +155,44 @@ class TGATPipeline:
         updates, opt_state = self.opt.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
         return TGATCarry(params, opt_state, rec_state, rng), loss
+
+    def eval_step(self, carry: TGATCarry, batch: DGBatch, cands: jnp.ndarray,
+                  cand_times=None):
+        """Scanned candidate-list evaluation: score each edge against its
+        (B, Q) candidates, advance the recency state, return
+        (carry, (mrr_sum, mrr_count)). Mirrors the reference TGAT example's
+        eval (examples/linkproppred/tgat.py:95-133)."""
+        from ..constants import PADDED_NODE_ID as _PAD
+        from ..eval.metrics import mrr_sum_count
+
+        params, opt_state, rec_state, rng = carry
+        B, Q = cands.shape
+        if cand_times is None:
+            cand_times = jnp.broadcast_to(batch.edge_time[:, None], (B, Q))
+        cand_flat = cands.reshape(-1)
+        seeds = jnp.concatenate([batch.edge_src, batch.edge_dst, cand_flat])
+        seed_t = jnp.concatenate(
+            [batch.edge_time, batch.edge_time, cand_times.reshape(-1)]
+        )
+        hops = self._hops(rec_state, seeds, seed_t)
+        z = self.encoder.apply(params["enc"], self.node_x, *hops)
+        pos = self.decoder.apply(params["dec"], z[:B], z[B : 2 * B])
+        negs = self.decoder.apply(
+            params["dec"],
+            jnp.repeat(z[:B][:, None, :], Q, axis=1).reshape(B * Q, -1),
+            z[2 * B :],
+        ).reshape(B, Q)
+        s, c = mrr_sum_count(
+            pos, negs, neg_valid=cands != _PAD, edge_valid=batch.edge_valid
+        )
+        if self.edge_x_full is not None:
+            rec_state = recency_eid_update(
+                rec_state, batch.edge_src, batch.edge_dst, batch.edge_time,
+                batch.edge_ids, batch.edge_valid, directed=False,
+            )
+        else:
+            rec_state = recency_update(
+                rec_state, batch.edge_src, batch.edge_dst, batch.edge_time,
+                batch.edge_x, batch.edge_valid, directed=False,
+            )
+        return TGATCarry(params, opt_state, rec_state, rng), (s, c)
