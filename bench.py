@@ -38,8 +38,12 @@ import numpy as np
 BASELINE_CUDA_ESTIMATE_EDGES_PER_SEC = 15_000.0
 
 
-def measured_cpu_baseline() -> float | None:
-    """Measured reference-CPU train throughput (tools/measure_baseline.py)."""
+def measured_cpu_baseline(num_edges=None, bsize=None) -> float | None:
+    """Measured reference-CPU train throughput (tools/measure_baseline.py).
+
+    The ratio is only honest when the workloads match, so when ``num_edges``/
+    ``bsize`` are given they must equal the recorded measurement's shapes
+    (otherwise returns None — e.g. --smoke or a non-default --bsize)."""
     import json as _json
     import os as _os
 
@@ -48,7 +52,12 @@ def measured_cpu_baseline() -> float | None:
     if not _os.path.exists(path):
         return None
     with open(path) as f:
-        return float(_json.load(f)["reference_train_edges_per_sec"])
+        rec = _json.load(f)
+    if num_edges is not None and rec.get("num_edges") != num_edges:
+        return None
+    if bsize is not None and rec.get("bsize") != bsize:
+        return None
+    return float(rec["reference_train_edges_per_sec"])
 
 # tgbl-wiki shape constants.
 WIKI_NODES = 9_227
@@ -107,6 +116,7 @@ def run_hook_bench(args, dg, stream, num_nodes, num_edges, edge_dim) -> None:
         RecencyNeighborHook(
             num_nodes, [10], ["edge_src", "edge_dst", "neg"],
             ["edge_time", "edge_time", "neg_time"], edge_dim=edge_dim,
+            edge_x_full=dg._storage._data.edge_x,
         )
     )
 
@@ -161,7 +171,7 @@ def run_hook_bench(args, dg, stream, num_nodes, num_edges, edge_dim) -> None:
         "vs_baseline": round(edges_per_sec / BASELINE_CUDA_ESTIMATE_EDGES_PER_SEC, 3),
         "baseline_is": "tgm_cuda_estimate_15k",
     }
-    cpu_base = measured_cpu_baseline()
+    cpu_base = measured_cpu_baseline(num_edges=num_edges, bsize=args.bsize)
     if cpu_base is not None:
         out["vs_reference_cpu_measured"] = round(edges_per_sec / cpu_base, 3)
         out["reference_cpu_edges_per_sec"] = round(cpu_base, 1)
@@ -177,6 +187,8 @@ def main() -> None:
                    help="lax.scan unroll factor for the epoch body")
     p.add_argument("--dedup-staging", action="store_true",
                    help="stage unique memory rows only (sort + inverse gather)")
+    p.add_argument("--packed-recency", action="store_true",
+                   help="packed (N,K,3) recency buffer: 1 gather/scatter vs 3")
     p.add_argument(
         "--with-eval", action="store_true",
         help="also time a scanned candidate-list eval epoch (tgn only; adds "
@@ -251,6 +263,7 @@ def main() -> None:
             neg_high=int(dg.edge_dst.max()),
             edge_x_full=stream.edge_x,
             dedup_staging=args.dedup_staging,
+            packed_recency=args.packed_recency,
         )
     carry = pipe.init_carry(jax.random.PRNGKey(0))
     epoch = jit_scan_epoch(pipe.train_step, stream.batch_at, stream.num_batches,
@@ -277,7 +290,7 @@ def main() -> None:
         "vs_baseline": round(edges_per_sec / BASELINE_CUDA_ESTIMATE_EDGES_PER_SEC, 3),
         "baseline_is": "tgm_cuda_estimate_15k",
     }
-    cpu_base = measured_cpu_baseline()
+    cpu_base = measured_cpu_baseline(num_edges=num_edges, bsize=args.bsize)
     if cpu_base is not None:
         out["vs_reference_cpu_measured"] = round(edges_per_sec / cpu_base, 3)
         out["reference_cpu_edges_per_sec"] = round(cpu_base, 1)

@@ -25,6 +25,7 @@ from tgm_tpu import DGDataLoader, DGraph
 from tgm_tpu.constants import PADDED_NODE_ID
 from tgm_tpu.eval.metrics import mrr_sum_count
 from tgm_tpu.hooks import (
+    candidate_rows,
     seed_lookup,
     HookManager,
     RandomNegativeEdgeSamplerHook,
@@ -187,9 +188,7 @@ def main():
         nt_src_rep = jnp.repeat(nt[:B], Q, axis=0)
         nx_src_rep = jnp.repeat(nx[:B], Q, axis=0)
         lut = seed_lookup(batch.seed_nids[0], node_x.shape[0])
-        cand_rows = jnp.clip(
-            lut[jnp.clip(negs, 0, node_x.shape[0] - 1)], 0, nbr.shape[0] - 1
-        )
+        cand_rows, found = candidate_rows(lut, negs, nbr.shape[0])
         zs2, zn = encoder.apply(
             params["enc"], node_x, src_rep, negs, t_rep,
             jnp.concatenate([nbr_src_rep, nbr[cand_rows]]),
@@ -199,7 +198,8 @@ def main():
         neg_score = decoder.apply(params["dec"], zs2, zn).reshape(B, Q)
         return mrr_sum_count(
             pos_score, neg_score,
-            neg_valid=batch.neg_batch_list != PADDED_NODE_ID,
+            neg_valid=(batch.neg_batch_list != PADDED_NODE_ID)
+            & found.reshape(B, Q),
             edge_valid=batch.edge_valid,
         )
 

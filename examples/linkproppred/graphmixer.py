@@ -29,6 +29,7 @@ from tgm_tpu import DGDataLoader, DGraph
 from tgm_tpu.constants import PADDED_NODE_ID
 from tgm_tpu.eval.metrics import mrr_sum_count
 from tgm_tpu.hooks import (
+    candidate_rows,
     seed_lookup,
     HookManager,
     RandomNegativeEdgeSamplerHook,
@@ -185,10 +186,8 @@ def main():
         z_src, z_dst = z[:B], z[B : 2 * B]
         # ``neg`` seeds are the unique candidate set; map candidates to rows.
         lut = seed_lookup(batch.seed_nids[0], node_x.shape[0])
-        cand_rows = jnp.clip(
-            lut[jnp.clip(batch.neg_batch_list, 0, node_x.shape[0] - 1)], 0, z.shape[0] - 1
-        )
-        z_neg = z[cand_rows]
+        cand_rows_, found = candidate_rows(lut, batch.neg_batch_list, z.shape[0])
+        z_neg = z[cand_rows_]
         pos_score = decoder.apply(params["dec"], z_src, z_dst)
         neg_score = decoder.apply(
             params["dec"],
@@ -197,7 +196,7 @@ def main():
         ).reshape(B, Q)
         return mrr_sum_count(
             pos_score, neg_score,
-            neg_valid=batch.neg_batch_list != PADDED_NODE_ID,
+            neg_valid=(batch.neg_batch_list != PADDED_NODE_ID) & found,
             edge_valid=batch.edge_valid,
         )
 

@@ -35,6 +35,7 @@ from tgm_tpu.hooks import (
     RandomNegativeEdgeSamplerHook,
     RecencyNeighborHook,
     TGBNegativeEdgeSamplerHook,
+    candidate_rows,
     seed_lookup,
 )
 from tgm_tpu.nn import TGAT, LinkPredictor
@@ -97,7 +98,9 @@ def main() -> None:
     time_keys = ["edge_time", "edge_time", "neg_time"]
     if args.sampling == "recency":
         nbr_hook = RecencyNeighborHook(
-            num_nodes, args.n_nbrs, seed_keys, time_keys, edge_dim=train_dg.edge_x_dim or 0
+            num_nodes, args.n_nbrs, seed_keys, time_keys,
+            edge_dim=train_dg.edge_x_dim or 0,
+            edge_x_full=data.edge_x,
         )
     else:
         nbr_hook = NeighborSamplerHook(args.n_nbrs, seed_keys, time_keys)
@@ -183,10 +186,8 @@ def main() -> None:
         # ``neg`` seeds are the UNIQUE candidate set (reference semantics);
         # locate each candidate's embedding row via the seed-list lookup.
         lut = seed_lookup(batch.seed_nids[0], num_nodes)
-        cand_rows = jnp.clip(
-            lut[jnp.clip(batch.neg_batch_list, 0, num_nodes - 1)], 0, z.shape[0] - 1
-        )
-        z_neg = z[cand_rows]
+        rows_c, found = candidate_rows(lut, batch.neg_batch_list, z.shape[0])
+        z_neg = z[rows_c]
         pos_score = decoder.apply(params["dec"], z_src, z_dst)
         neg_score = decoder.apply(
             params["dec"],
@@ -196,7 +197,7 @@ def main() -> None:
         return params, mrr_sum_count(
             pos_score,
             neg_score,
-            neg_valid=batch.neg_batch_list != PADDED_NODE_ID,
+            neg_valid=(batch.neg_batch_list != PADDED_NODE_ID) & found,
             edge_valid=batch.edge_valid,
         )
 

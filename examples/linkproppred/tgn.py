@@ -141,6 +141,9 @@ def main() -> None:
             ["edge_src", "edge_dst", "neg"],
             ["edge_time", "edge_time", "neg_time"],
             edge_dim=edge_dim,
+            # eid-layout buffers: features come from the PRE-SPLIT table so
+            # global edge ids from every split resolve.
+            edge_x_full=data.edge_x,
         )
     )
     if args.encoder == "segment":

@@ -21,7 +21,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 from examples._linkpred_common import base_parser, run_epochs, setup_linkpred
 from tgm_tpu.constants import PADDED_NODE_ID
 from tgm_tpu.eval.metrics import mrr_sum_count
-from tgm_tpu.hooks import RecencyNeighborHook, seed_lookup
+from tgm_tpu.hooks import RecencyNeighborHook, candidate_rows, seed_lookup
 from tgm_tpu.nn import LinkPredictor, RandomProjectionModule, TPNet
 from tgm_tpu.nn.encoder.tpnet import rp_update
 
@@ -134,9 +134,7 @@ def main():
         nt_src = jnp.repeat(nt_all[:B], Q, axis=0)
         nx_src = jnp.repeat(nx_all[:B], Q, axis=0)
         lut = seed_lookup(batch.seed_nids[0], node_x.shape[0])
-        cand_rows = jnp.clip(
-            lut[jnp.clip(negs, 0, node_x.shape[0] - 1)], 0, nbr_all.shape[0] - 1
-        )
+        cand_rows, found = candidate_rows(lut, negs, nbr_all.shape[0])
         zs2, zn = encoder.apply(
             params["enc"], node_x, src_rep, negs, t_rep,
             jnp.concatenate([nbr_src, nbr_all[cand_rows]]),
@@ -146,7 +144,9 @@ def main():
         )
         neg = decoder.apply(params["dec"], zs2, zn).reshape(B, Q)
         s, c = mrr_sum_count(
-            pos, neg, neg_valid=batch.neg_batch_list != PADDED_NODE_ID,
+            pos, neg,
+            neg_valid=(batch.neg_batch_list != PADDED_NODE_ID)
+            & found.reshape(B, Q),
             edge_valid=batch.edge_valid,
         )
         rp_state = rp_update(

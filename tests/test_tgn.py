@@ -253,3 +253,36 @@ def test_pipeline_packed_state_equivalence():
 
     np.testing.assert_allclose(out[True][0], out[False][0], rtol=1e-6, atol=1e-6)
     assert out[True][1] == out[False][1] and out[True][2] == out[False][2]
+
+
+def test_pipeline_packed_recency_equivalence():
+    """Packed (N,K,3) recency buffer must match the separate-buffer eid mode."""
+    from tgm_tpu.data.dg_data import DGData
+    from tgm_tpu.core.graph import DGraph
+    from tgm_tpu.train import DeviceEdgeStream, TGNPipeline, jit_scan_epoch
+
+    rng = np.random.default_rng(9)
+    N, E, D, B = 40, 330, 6, 64
+    data = DGData.from_raw(
+        edge_time=np.sort(rng.integers(0, 5000, E)),
+        edge_index=rng.integers(0, N, (E, 2)),
+        edge_x=rng.normal(size=(E, D)).astype(np.float32),
+        time_delta="s",
+    )
+    dg = DGraph(data)
+    stream = DeviceEdgeStream(dg, B)
+
+    out = {}
+    for packed in (False, True):
+        pipe = TGNPipeline(
+            num_nodes=N, edge_dim=D, memory_dim=8, embed_dim=8, time_dim=6,
+            num_nbrs=5, lr=1e-3, neg_low=0, neg_high=N,
+            edge_x_full=stream.edge_x, packed_recency=packed,
+        )
+        carry = pipe.init_carry(jax.random.PRNGKey(7))
+        epoch = jit_scan_epoch(pipe.train_step, stream.batch_at, stream.num_batches,
+                               donate_carry=False)
+        carry, l1 = epoch(carry)
+        carry, l2 = epoch(carry)
+        out[packed] = np.concatenate([np.asarray(l1), np.asarray(l2)])
+    np.testing.assert_allclose(out[True], out[False], rtol=1e-6, atol=1e-6)

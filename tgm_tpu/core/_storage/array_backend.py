@@ -91,6 +91,9 @@ class DGStorageArrayBackend(DGStorageBase):
         time = self._data.time[self._data.edge_mask[sel]]
         return edges[:, 0], edges[:, 1], time
 
+    def get_edge_rows(self, slice: DGSliceTracker):
+        return self._edge_sel(slice)
+
     def get_node_events(self, slice: DGSliceTracker) -> Tuple[np.ndarray, np.ndarray]:
         if self._data.node_x_mask is None:
             return np.empty(0, np.int32), np.empty(0, np.int64)

@@ -49,6 +49,11 @@ class DGStorageBase(ABC):
     def get_edges(self, slice: DGSliceTracker) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Return (src, dst, time) arrays for edge events in the slice."""
 
+    def get_edge_rows(self, slice: DGSliceTracker):
+        """The slice's edge rows as a contiguous ``slice`` into this storage's
+        edge arrays, or None if the backend cannot express it contiguously."""
+        return None
+
     @abstractmethod
     def get_node_events(self, slice: DGSliceTracker) -> Tuple[np.ndarray, np.ndarray]:
         """Return (node_ids, time) for dynamic node events in the slice."""

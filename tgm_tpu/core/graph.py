@@ -103,6 +103,7 @@ class DGraph:
         ``PADDED_NODE_ID`` / 0 with validity masks) and can flow through jit.
         """
         src, dst, time = self._storage.get_edges(self._slice)
+        n_real = len(src)
         src, _ = _pad_1d(src, pad_edges_to, PADDED_NODE_ID)
         dst, _ = _pad_1d(dst, pad_edges_to, PADDED_NODE_ID)
         time, edge_valid = _pad_1d(time.astype(np.int32), pad_edges_to, 0)
@@ -113,6 +114,16 @@ class DGraph:
             edge_time=jnp.asarray(time, dtype=jnp.int32),
             edge_valid=jnp.asarray(edge_valid),
         )
+        # Global edge ids (-1 on padding): this slice's rows offset by the
+        # split's position in the pre-split dataset, for eid-mode consumers.
+        rows = self._storage.get_edge_rows(self._slice)
+        if rows is not None:
+            base = rows.start + int(
+                getattr(self._storage._data, "edge_global_offset", 0)
+            )
+            ids = np.full(len(src), -1, np.int32)
+            ids[:n_real] = base + np.arange(n_real, dtype=np.int32)
+            batch.edge_ids = jnp.asarray(ids)
 
         if materialize_features:
             node_x = self._storage.get_node_x(self._slice)

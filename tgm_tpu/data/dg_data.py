@@ -100,6 +100,13 @@ class DGData:
 
     _split_strategy: Any = None
 
+    # Row of this data's first edge inside the pre-split parent dataset (set
+    # by split strategies when the selection is contiguous, which every
+    # temporal split produces). Lets per-split batches carry GLOBAL edge ids
+    # so eid-mode consumers (recency buffers) can share one full-dataset
+    # feature table across train/val/test.
+    edge_global_offset: int = 0
+
     # ------------------------------------------------------------------ #
     # Validation
     # ------------------------------------------------------------------ #

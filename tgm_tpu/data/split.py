@@ -61,7 +61,7 @@ class SplitStrategy(ABC):
             if feats is not None:
                 kwargs[prefix] = feats[mask]
 
-        return DGData.from_raw(
+        out = DGData.from_raw(
             time_delta=data.time_delta,
             edge_time=edge_time,
             edge_index=edge_index,
@@ -71,6 +71,14 @@ class SplitStrategy(ABC):
             node_type=data.node_type,  # shared, not cloned
             **kwargs,
         )
+        # Record where this split's edges live in the parent's row space (all
+        # temporal splits select contiguous runs; anything else keeps 0).
+        idx = np.flatnonzero(edge_mask)
+        if idx.size and int(idx[-1]) - int(idx[0]) + 1 == idx.size:
+            out.edge_global_offset = (
+                int(getattr(data, "edge_global_offset", 0)) + int(idx[0])
+            )
+        return out
 
 
 @dataclass

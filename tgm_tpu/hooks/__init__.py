@@ -1,7 +1,7 @@
 from .base import BaseDGHook, DGHook, SeedableHook, StatefulHook, StatelessHook
 from .registry import hook, list_hooks
 from .manager import CORE_ATTRIBUTE, HookManager
-from .dedup import DeduplicationHook, map_to_local, seed_lookup
+from .dedup import DeduplicationHook, candidate_rows, map_to_local, seed_lookup
 from .device import DeviceTransferHook, PinMemoryHook
 from .negatives import (
     HistoricalNegativeEdgeSamplerHook,
@@ -40,6 +40,7 @@ __all__ = [
     "build_tgb_link_pred",
     "hook",
     "list_hooks",
+    "candidate_rows",
     "map_to_local",
     "seed_lookup",
 ]

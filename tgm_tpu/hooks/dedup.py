@@ -104,3 +104,20 @@ def seed_lookup(seeds: jnp.ndarray, num_nodes: int) -> jnp.ndarray:
     rows = jnp.where((seeds >= 0) & (seeds < num_nodes), seeds, num_nodes)
     lut = lut.at[rows].max(jnp.arange(S, dtype=jnp.int32), mode="drop")
     return lut.at[num_nodes].set(-1)
+
+
+def candidate_rows(
+    lut: jnp.ndarray, cands: jnp.ndarray, num_rows: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Map candidate ids through a :func:`seed_lookup` table.
+
+    Returns ``(rows, found)``: safe row indices (clipped into [0, num_rows))
+    and a mask of candidates actually present in the seed list. ALWAYS and
+    ``found`` into the scoring validity mask — a candidate missing from the
+    seeds (e.g. the neighbor hook was configured without ``"neg"`` in its
+    seed keys) would otherwise silently score against row 0's embedding.
+    """
+    n = lut.shape[0] - 1
+    raw = lut[jnp.where((cands >= 0) & (cands < n), cands, n)]
+    found = raw >= 0
+    return jnp.clip(raw, 0, num_rows - 1), found

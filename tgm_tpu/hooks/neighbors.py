@@ -142,39 +142,35 @@ def recency_query(
     return out_nbrs, out_times, out_feats
 
 
-def recency_update(
-    state: Tuple[jnp.ndarray, ...],
+def _push_plan(
+    B: int,
+    write_pos: jnp.ndarray,
     src: jnp.ndarray,
     dst: jnp.ndarray,
     time: jnp.ndarray,
-    feats: Optional[jnp.ndarray],
     valid: Optional[jnp.ndarray],
     directed: bool,
-) -> Tuple[jnp.ndarray, ...]:
-    """Push a batch of edge events into the circular buffers.
+    num_nodes: int,
+):
+    """Deterministic write plan for a circular-buffer push (mirrors reference
+    recency.py:323-399): stable lexicographic sort by (node, time), retain
+    only the last ``B`` events per node so each buffer slot is written at
+    most once, compute write (row, col) targets and per-node bumps.
 
-    Mirrors reference recency.py:323-399: stable lexicographic sort by
-    (node, time), retain only the last ``B`` events per node so each buffer
-    slot is written at most once (deterministic scatter), bump write positions.
+    Returns ``(perm, rows, cols, s_nbrs, s_t, bump)`` where ``perm`` indexes
+    the (possibly direction-duplicated) event list — apply it to any payload
+    concatenated the same way (twice for undirected).
     """
-    nbr_ids, nbr_times, nbr_feats, write_pos = state
-    N1, B = nbr_ids.shape
-    num_nodes = N1 - 1
-    D = nbr_feats.shape[-1]
-
-    if feats is None:
-        feats = jnp.zeros((src.shape[0], D), dtype=jnp.float32)
+    N1 = num_nodes + 1
     if valid is None:
         valid = jnp.ones(src.shape[0], dtype=bool)
 
     if directed:
-        nodes, nbrs = src, dst
-        t, f, v = time, feats, valid
+        nodes, nbrs, t, v = src, dst, time, valid
     else:
         nodes = jnp.concatenate([src, dst])
         nbrs = jnp.concatenate([dst, src])
         t = jnp.concatenate([time, time])
-        f = jnp.concatenate([feats, feats])
         v = jnp.concatenate([valid, valid])
 
     # Invalid entries route to the dump row and sort to the end.
@@ -184,7 +180,7 @@ def recency_update(
     p1 = jnp.argsort(t, stable=True)
     p2 = jnp.argsort(nodes[p1], stable=True)
     perm = p1[p2]
-    s_nodes, s_nbrs, s_t, s_f = nodes[perm], nbrs[perm], t[perm], f[perm]
+    s_nodes, s_nbrs, s_t = nodes[perm], nbrs[perm], t[perm]
 
     E = s_nodes.shape[0]
     idx = jnp.arange(E)
@@ -202,18 +198,63 @@ def recency_update(
 
     rows = jnp.where(keep, s_nodes, num_nodes)
     cols = jnp.where(keep, write_idx, 0)
+    bump = jax.ops.segment_sum(keep.astype(jnp.int32), s_nodes, num_segments=N1)
+    return perm, rows, cols, s_nbrs, s_t, bump
+
+
+def _recency_push(
+    nbr_ids: jnp.ndarray,
+    nbr_times: jnp.ndarray,
+    payload_buf: jnp.ndarray,  # (N1, B[, D]) features or edge ids
+    payload_fill,
+    write_pos: jnp.ndarray,
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    time: jnp.ndarray,
+    payload: jnp.ndarray,  # (E[, D]) per-event payload
+    valid: Optional[jnp.ndarray],
+    directed: bool,
+) -> Tuple[jnp.ndarray, ...]:
+    """Circular-buffer push over separate id/time/payload buffers."""
+    N1, B = nbr_ids.shape
+    num_nodes = N1 - 1
+    perm, rows, cols, s_nbrs, s_t, bump = _push_plan(
+        B, write_pos, src, dst, time, valid, directed, num_nodes
+    )
+    f = payload if directed else jnp.concatenate([payload, payload])
+    s_f = f[perm]
+
     nbr_ids = nbr_ids.at[rows, cols].set(s_nbrs, mode="drop")
     nbr_times = nbr_times.at[rows, cols].set(s_t.astype(jnp.int32), mode="drop")
-    nbr_feats = nbr_feats.at[rows, cols].set(s_f, mode="drop")
-
-    bump = jax.ops.segment_sum(keep.astype(jnp.int32), s_nodes, num_segments=N1)
+    payload_buf = payload_buf.at[rows, cols].set(
+        s_f.astype(payload_buf.dtype), mode="drop"
+    )
     write_pos = write_pos + bump
     # Keep the dump row pristine.
     nbr_ids = nbr_ids.at[num_nodes].set(PADDED_NODE_ID)
     nbr_times = nbr_times.at[num_nodes].set(0)
-    nbr_feats = nbr_feats.at[num_nodes].set(0.0)
+    payload_buf = payload_buf.at[num_nodes].set(payload_fill)
     write_pos = write_pos.at[num_nodes].set(0)
-    return nbr_ids, nbr_times, nbr_feats, write_pos
+    return nbr_ids, nbr_times, payload_buf, write_pos
+
+
+def recency_update(
+    state: Tuple[jnp.ndarray, ...],
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    time: jnp.ndarray,
+    feats: Optional[jnp.ndarray],
+    valid: Optional[jnp.ndarray],
+    directed: bool,
+) -> Tuple[jnp.ndarray, ...]:
+    """Push a batch of edge events (with feature payloads) into the buffers."""
+    nbr_ids, nbr_times, nbr_feats, write_pos = state
+    if feats is None:
+        feats = jnp.zeros((src.shape[0], nbr_feats.shape[-1]), dtype=jnp.float32)
+    return _recency_push(
+        nbr_ids, nbr_times, nbr_feats, 0.0, write_pos,
+        src, dst, time, feats, valid, directed,
+    )
 
 
 # ---------------------------------------------------------------------- #
@@ -311,53 +352,100 @@ def recency_eid_update(
 ) -> Tuple[jnp.ndarray, ...]:
     """Push a batch of edge events (by edge id) into the circular buffers."""
     nbr_ids, nbr_times, nbr_eids, write_pos = state
-    N1, B = nbr_ids.shape
+    return _recency_push(
+        nbr_ids, nbr_times, nbr_eids, -1, write_pos,
+        src, dst, time, eids, valid, directed,
+    )
+
+
+# ---------------------------------------------------------------------- #
+# Packed eid layout: one (N1, B, 3) int32 buffer [nbr_id, time, eid] — one
+# gather per query and one scatter per push instead of three of each. The
+# minor (lane) dim is written whole (unlike the column-sliced scatters that
+# regressed the packed memory state).
+# ---------------------------------------------------------------------- #
+def recency_pk_init(
+    num_nodes: int, buf_size: int, row_multiple: int = 1
+) -> Tuple[jnp.ndarray, ...]:
+    n = num_nodes + 1
+    if row_multiple > 1:
+        n = -(-n // row_multiple) * row_multiple
+    buf = jnp.zeros((n, buf_size, 3), dtype=jnp.int32)
+    buf = buf.at[:, :, 0].set(PADDED_NODE_ID).at[:, :, 2].set(-1)
+    return (buf, jnp.zeros((n,), dtype=jnp.int32))
+
+
+_PK_DUMP_FILL = (PADDED_NODE_ID, 0, -1)
+
+
+def recency_pk_query(
+    state: Tuple[jnp.ndarray, ...],
+    seeds: jnp.ndarray,
+    seed_times: jnp.ndarray,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """K most recent (nbr_id, time, edge_id) per seed (packed layout)."""
+    buf, write_pos = state
+    N1 = buf.shape[0]
     num_nodes = N1 - 1
+    seed_ok = (seeds >= 0) & (seeds < num_nodes)
+    rows = jnp.where(seed_ok, seeds, num_nodes)
+    g = buf[rows]  # (S, B, 3) — single gather
+    ids, times, eids = g[:, :, 0], g[:, :, 1], g[:, :, 2]
+    wp = write_pos[rows]
+    if _pallas_enabled():
+        from ..ops.pallas.recency_select import recency_window_select_eid
 
-    if valid is None:
-        valid = jnp.ones(src.shape[0], dtype=bool)
+        return recency_window_select_eid(ids, times, eids, wp, seed_times, k=k)
+    # jnp fallback: row-local selection (same math as recency_eid_query's).
+    B = buf.shape[1]
+    cand_idx = (wp[:, None] - jnp.arange(B, 0, -1)[None, :]) % B
+    cand_times = jnp.take_along_axis(times, cand_idx, axis=1)
+    cand_ids = jnp.take_along_axis(ids, cand_idx, axis=1)
+    tmask = (cand_times < seed_times[:, None]) & (cand_ids != PADDED_NODE_ID)
+    tmask &= seed_ok[:, None]
+    pos = jnp.arange(B)[None, :]
+    last_valid = jnp.where(tmask.any(axis=1), jnp.max(tmask * pos, axis=1), -1)
+    offset = jnp.arange(k - 1, -1, -1)[None, :]
+    gather_pos = jnp.maximum(last_valid[:, None] - offset, -1)
+    out_idx = jnp.where(
+        gather_pos >= 0,
+        jnp.take_along_axis(cand_idx, jnp.maximum(gather_pos, 0), axis=1),
+        -1,
+    )
+    valid = out_idx >= 0
+    safe = jnp.maximum(out_idx, 0)
+    out_nbrs = jnp.where(valid, jnp.take_along_axis(ids, safe, axis=1), PADDED_NODE_ID)
+    out_times = jnp.where(valid, jnp.take_along_axis(times, safe, axis=1), 0)
+    out_eids = jnp.where(valid, jnp.take_along_axis(eids, safe, axis=1), -1)
+    return out_nbrs, out_times, out_eids
 
-    if directed:
-        nodes, nbrs, t, e, v = src, dst, time, eids, valid
-    else:
-        nodes = jnp.concatenate([src, dst])
-        nbrs = jnp.concatenate([dst, src])
-        t = jnp.concatenate([time, time])
-        e = jnp.concatenate([eids, eids])
-        v = jnp.concatenate([valid, valid])
 
-    nodes = jnp.where(v, nodes, num_nodes)
-
-    p1 = jnp.argsort(t, stable=True)
-    p2 = jnp.argsort(nodes[p1], stable=True)
-    perm = p1[p2]
-    s_nodes, s_nbrs, s_t, s_e = nodes[perm], nbrs[perm], t[perm], e[perm]
-
-    E = s_nodes.shape[0]
-    idx = jnp.arange(E)
-    is_start = jnp.concatenate([jnp.ones((1,), bool), s_nodes[1:] != s_nodes[:-1]])
-    group_start = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, idx, -1))
-    pos_in_group = idx - group_start
-    cnt = jax.ops.segment_sum(jnp.ones_like(s_nodes), s_nodes, num_segments=N1)
-    cnt_elem = cnt[s_nodes]
-    keep = pos_in_group >= (cnt_elem - B)
-
-    kept_offset = pos_in_group - jnp.maximum(cnt_elem - B, 0)
-    write_idx = (write_pos[s_nodes] + kept_offset) % B
-
-    rows = jnp.where(keep, s_nodes, num_nodes)
-    cols = jnp.where(keep, write_idx, 0)
-    nbr_ids = nbr_ids.at[rows, cols].set(s_nbrs, mode="drop")
-    nbr_times = nbr_times.at[rows, cols].set(s_t.astype(jnp.int32), mode="drop")
-    nbr_eids = nbr_eids.at[rows, cols].set(s_e.astype(jnp.int32), mode="drop")
-
-    bump = jax.ops.segment_sum(keep.astype(jnp.int32), s_nodes, num_segments=N1)
+def recency_pk_update(
+    state: Tuple[jnp.ndarray, ...],
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    time: jnp.ndarray,
+    eids: jnp.ndarray,
+    valid: Optional[jnp.ndarray],
+    directed: bool,
+) -> Tuple[jnp.ndarray, ...]:
+    """Push a batch of edge events into the packed buffer (single scatter)."""
+    buf, write_pos = state
+    N1, B, _ = buf.shape
+    num_nodes = N1 - 1
+    perm, rows, cols, s_nbrs, s_t, bump = _push_plan(
+        B, write_pos, src, dst, time, valid, directed, num_nodes
+    )
+    e = eids if directed else jnp.concatenate([eids, eids])
+    vals = jnp.stack(
+        [s_nbrs, s_t.astype(jnp.int32), e[perm].astype(jnp.int32)], axis=1
+    )  # (E2, 3)
+    buf = buf.at[rows, cols].set(vals, mode="drop")
     write_pos = write_pos + bump
-    nbr_ids = nbr_ids.at[num_nodes].set(PADDED_NODE_ID)
-    nbr_times = nbr_times.at[num_nodes].set(0)
-    nbr_eids = nbr_eids.at[num_nodes].set(-1)
+    buf = buf.at[num_nodes].set(jnp.asarray(_PK_DUMP_FILL, jnp.int32))
     write_pos = write_pos.at[num_nodes].set(0)
-    return nbr_ids, nbr_times, nbr_eids, write_pos
+    return buf, write_pos
 
 
 # ---------------------------------------------------------------------- #
@@ -429,7 +517,20 @@ class _NeighborHookBase(SeedableHook, StatefulHook):
 
 @hook
 class RecencyNeighborHook(_NeighborHookBase):
-    """K most-recent temporal neighbors per node, maintained incrementally."""
+    """K most-recent temporal neighbors per node, maintained incrementally.
+
+    Two state layouts:
+
+    * default — ring buffers store each event's edge FEATURES by value
+      (the reference's layout). Works with any batch source.
+    * ``edge_x_full`` given — ring buffers store int32 EDGE IDS and features
+      are gathered from this static table at query time. Removes the carried
+      (N, K, D) float buffer (XLA re-layout-copies it every scan step —
+      profiled at ~15% of a TGN epoch). Batches must carry global
+      ``edge_ids`` (our materialize / device streams emit them; the table
+      must be the PRE-SPLIT dataset's ``edge_x`` so ids from every split
+      resolve — see ``DGData.edge_global_offset``).
+    """
 
     def __init__(
         self,
@@ -439,14 +540,18 @@ class RecencyNeighborHook(_NeighborHookBase):
         seed_times_keys: List[str],
         directed: bool = False,
         edge_dim: Optional[int] = None,
+        edge_x_full: Optional[Any] = None,
         id: Optional[str] = None,
     ) -> None:
         super().__init__(num_nbrs, seed_nodes_keys, seed_times_keys, directed, id)
         self._num_nodes = num_nodes
         self._max_nbrs = max(self._num_nbrs)
         self._edge_dim = edge_dim
+        self._edge_x_full = None if edge_x_full is None else jnp.asarray(edge_x_full)
 
     def init_state(self, dg: Optional[DGraph] = None) -> Any:
+        if self._edge_x_full is not None:
+            return recency_eid_init(self._num_nodes, self._max_nbrs)
         if self._edge_dim is None:
             self._edge_dim = (dg.edge_x_dim if dg is not None else 0) or 0
         return recency_init(self._num_nodes, self._max_nbrs, self._edge_dim)
@@ -455,6 +560,13 @@ class RecencyNeighborHook(_NeighborHookBase):
         self.state = None
 
     def apply(self, state: Any, batch: DGBatch) -> Tuple[Any, DGBatch]:
+        eid_mode = self._edge_x_full is not None
+        if eid_mode and not batch.has("edge_ids"):
+            raise ValueError(
+                "RecencyNeighborHook(edge_x_full=...) needs batches with "
+                "edge_ids (materialized via DGraph.materialize or a device "
+                "stream)"
+            )
         seeds, times, seed_mask = self._get_seeds(batch)
         hop_seeds, hop_times = [seeds], [times]
         hop_nbrs, hop_nbr_t, hop_nbr_x = [], [], []
@@ -464,20 +576,35 @@ class RecencyNeighborHook(_NeighborHookBase):
                 times = hop_nbr_t[hop - 1].reshape(-1)
                 hop_seeds.append(seeds)
                 hop_times.append(times)
-            nbrs, nts, nxs = recency_query(state, seeds, times, k)
+            if eid_mode:
+                nbrs, nts, nes = recency_eid_query(state, seeds, times, k)
+                nxs = gather_edge_feats(self._edge_x_full, nes)
+            else:
+                nbrs, nts, nxs = recency_query(state, seeds, times, k)
             hop_nbrs.append(nbrs)
             hop_nbr_t.append(nts)
             hop_nbr_x.append(nxs)
 
-        state = recency_update(
-            state,
-            batch.edge_src,
-            batch.edge_dst,
-            batch.edge_time,
-            batch.edge_x,
-            batch.edge_valid,
-            self._directed,
-        )
+        if eid_mode:
+            state = recency_eid_update(
+                state,
+                batch.edge_src,
+                batch.edge_dst,
+                batch.edge_time,
+                batch.edge_ids,
+                batch.edge_valid,
+                self._directed,
+            )
+        else:
+            state = recency_update(
+                state,
+                batch.edge_src,
+                batch.edge_dst,
+                batch.edge_time,
+                batch.edge_x,
+                batch.edge_valid,
+                self._directed,
+            )
         self._emit(batch, hop_seeds, hop_times, hop_nbrs, hop_nbr_t, hop_nbr_x, seed_mask)
         return state, batch
 

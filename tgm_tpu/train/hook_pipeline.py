@@ -62,7 +62,11 @@ def scanned_hook_epoch(
         )
         return carry, hook_states, outs
 
-    jit_epoch = jax.jit(epoch, donate_argnums=(0, 1) if donate else ())
+    # Donate only the model carry: hook states returned by as_transform can
+    # alias the hooks' live ``h.state`` buffers — donating them would leave
+    # eager hooks holding deleted arrays if the caller interleaves execution
+    # modes or the epoch aborts before adopt_states.
+    jit_epoch = jax.jit(epoch, donate_argnums=(0,) if donate else ())
     return jit_epoch, init_states
 
 

@@ -32,6 +32,42 @@ def bce_with_logits(logits, target, mask):
     return jnp.sum(loss * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+def _raw_msg(batch):
+    if batch.edge_x is not None:
+        return batch.edge_x
+    return jnp.zeros((batch.edge_src.shape[0], 0), jnp.float32)
+
+
+def _batch_nodes(batch, num_nodes):
+    nodes = jnp.concatenate([batch.edge_src, batch.edge_dst])
+    return jnp.where(
+        jnp.concatenate([batch.edge_valid, batch.edge_valid]), nodes, num_nodes
+    )
+
+
+def tgn_train_commit(memory, p, mem_state, batch, num_nodes):
+    """Reference train-mode update_state: flush pending messages for the
+    batch's nodes, then overwrite their message stores with this batch
+    (reference tgn.py:165-177 train branch)."""
+    nodes = _batch_nodes(batch, num_nodes)
+    mem_state = memory.apply(p["mem"], mem_state, nodes, method=TGNMemory.flush)
+    return tgn_store_messages(
+        mem_state, batch.edge_src, batch.edge_dst, batch.edge_time,
+        _raw_msg(batch), batch.edge_valid,
+    )
+
+
+def tgn_eval_commit(memory, p, mem_state, batch, num_nodes):
+    """Reference eval-mode update_state: store messages, THEN apply them
+    (reference tgn.py:165-177 eval branch — ordering differs from train)."""
+    mem_state = tgn_store_messages(
+        mem_state, batch.edge_src, batch.edge_dst, batch.edge_time,
+        _raw_msg(batch), batch.edge_valid,
+    )
+    nodes = _batch_nodes(batch, num_nodes)
+    return memory.apply(p["mem"], mem_state, nodes, method=TGNMemory.flush)
+
+
 def build_local_edges(batch, num_nodes):
     """Local subgraph edges (seed -> neighbor) exactly as the reference example
     builds them (examples/linkproppred/tgn.py:74-95)."""
@@ -82,11 +118,6 @@ def build_tgn_hook_cores(
     if style == "rowwise":
         return _build_rowwise_cores(memory, encoder, decoder, opt, num_nodes)
 
-    def raw_msg(batch):
-        if batch.edge_x is not None:
-            return batch.edge_x
-        return jnp.zeros((batch.edge_src.shape[0], 0), jnp.float32)
-
     def encode(p, mem_state, batch, training, dropout_rng=None):
         z_mem, last_upd = memory.apply(
             p["mem"], mem_state, batch.unique_nids, training, method=TGNMemory.stage
@@ -96,19 +127,6 @@ def build_tgn_hook_cores(
         return encoder.apply(
             p["enc"], z_mem, last_upd, e_src, e_dst, e_t, e_x, e_valid,
             deterministic=dropout_rng is None, rngs=rngs,
-        )
-
-    def commit(p, mem_state, batch):
-        """Reference train-mode update_state: flush pending for batch nodes,
-        then overwrite their message stores with this batch."""
-        nodes = jnp.concatenate([batch.edge_src, batch.edge_dst])
-        nodes = jnp.where(
-            jnp.concatenate([batch.edge_valid, batch.edge_valid]), nodes, num_nodes
-        )
-        mem_state = memory.apply(p["mem"], mem_state, nodes, method=TGNMemory.flush)
-        return tgn_store_messages(
-            mem_state, batch.edge_src, batch.edge_dst, batch.edge_time,
-            raw_msg(batch), batch.edge_valid,
         )
 
     def train_core(carry, batch):
@@ -135,7 +153,7 @@ def build_tgn_hook_cores(
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         # Reference order: update_state runs before opt.step (old params).
-        mem_state = commit(params, mem_state, batch)
+        mem_state = tgn_train_commit(memory, params, mem_state, batch, num_nodes)
         updates, opt_state = opt.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
         return (params, opt_state, mem_state, rng), loss
@@ -161,16 +179,7 @@ def build_tgn_hook_cores(
             neg_valid=batch.neg_batch_list != PADDED_NODE_ID,
             edge_valid=batch.edge_valid,
         )
-        # Reference eval-mode update_state: store messages, then apply them.
-        mem_state = tgn_store_messages(
-            mem_state, batch.edge_src, batch.edge_dst, batch.edge_time,
-            raw_msg(batch), batch.edge_valid,
-        )
-        nodes = jnp.concatenate([batch.edge_src, batch.edge_dst])
-        nodes = jnp.where(
-            jnp.concatenate([batch.edge_valid, batch.edge_valid]), nodes, num_nodes
-        )
-        mem_state = memory.apply(params["mem"], mem_state, nodes, method=TGNMemory.flush)
+        mem_state = tgn_eval_commit(memory, params, mem_state, batch, num_nodes)
         return (params, mem_state), (s, c)
 
     return train_core, eval_core
@@ -178,12 +187,7 @@ def build_tgn_hook_cores(
 
 def _build_rowwise_cores(memory, encoder, decoder, opt, num_nodes):
     """Rowwise-style cores (see build_tgn_hook_cores)."""
-    from ..hooks.dedup import seed_lookup
-
-    def raw_msg(batch):
-        if batch.edge_x is not None:
-            return batch.edge_x
-        return jnp.zeros((batch.edge_src.shape[0], 0), jnp.float32)
+    from ..hooks.dedup import candidate_rows, seed_lookup
 
     def encode(p, mem_state, batch, training, dropout_rng=None):
         seeds = batch.seed_nids[0]  # (S,)
@@ -207,17 +211,6 @@ def _build_rowwise_cores(memory, encoder, decoder, opt, num_nodes):
             rngs=rngs,
         )
 
-    def commit(p, mem_state, batch):
-        nodes = jnp.concatenate([batch.edge_src, batch.edge_dst])
-        nodes = jnp.where(
-            jnp.concatenate([batch.edge_valid, batch.edge_valid]), nodes, num_nodes
-        )
-        mem_state = memory.apply(p["mem"], mem_state, nodes, method=TGNMemory.flush)
-        return tgn_store_messages(
-            mem_state, batch.edge_src, batch.edge_dst, batch.edge_time,
-            raw_msg(batch), batch.edge_valid,
-        )
-
     def train_core(carry, batch):
         params, opt_state, mem_state, rng = carry
         rng, dropout_rng = jax.random.split(rng)
@@ -233,7 +226,7 @@ def _build_rowwise_cores(memory, encoder, decoder, opt, num_nodes):
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        mem_state = commit(params, mem_state, batch)
+        mem_state = tgn_train_commit(memory, params, mem_state, batch, num_nodes)
         updates, opt_state = opt.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
         return (params, opt_state, mem_state, rng), loss
@@ -246,30 +239,19 @@ def _build_rowwise_cores(memory, encoder, decoder, opt, num_nodes):
         # Candidates live in the trailing unique-negative seed section; locate
         # each candidate's row via the seed-list lookup.
         lut = seed_lookup(batch.seed_nids[0], num_nodes)
-        cand_rows = jnp.clip(
-            lut[jnp.clip(batch.neg_batch_list, 0, num_nodes - 1)], 0, z.shape[0] - 1
-        )
+        rows_c, found = candidate_rows(lut, batch.neg_batch_list, z.shape[0])
         pos_score = decoder.apply(params["dec"], z[:B], z[B : 2 * B])
         neg_score = decoder.apply(
             params["dec"],
             jnp.repeat(z[:B][:, None, :], Q, axis=1).reshape(B * Q, -1),
-            z[cand_rows].reshape(B * Q, -1),
+            z[rows_c].reshape(B * Q, -1),
         ).reshape(B, Q)
         s, c = mrr_sum_count(
             pos_score, neg_score,
-            neg_valid=batch.neg_batch_list != PADDED_NODE_ID,
+            neg_valid=(batch.neg_batch_list != PADDED_NODE_ID) & found,
             edge_valid=batch.edge_valid,
         )
-        # Reference eval-mode update_state: store messages, then apply them.
-        mem_state = tgn_store_messages(
-            mem_state, batch.edge_src, batch.edge_dst, batch.edge_time,
-            raw_msg(batch), batch.edge_valid,
-        )
-        nodes = jnp.concatenate([batch.edge_src, batch.edge_dst])
-        nodes = jnp.where(
-            jnp.concatenate([batch.edge_valid, batch.edge_valid]), nodes, num_nodes
-        )
-        mem_state = memory.apply(params["mem"], mem_state, nodes, method=TGNMemory.flush)
+        mem_state = tgn_eval_commit(memory, params, mem_state, batch, num_nodes)
         return (params, mem_state), (s, c)
 
     return train_core, eval_core

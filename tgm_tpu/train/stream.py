@@ -29,9 +29,22 @@ from ..core.graph import DGraph
 
 
 class DeviceEdgeStream:
-    """Uploads a DGraph's edge events once; serves fixed-width batch windows."""
+    """Uploads a DGraph's edge events once; serves fixed-width batch windows.
 
-    def __init__(self, dg: DGraph, batch_size: int, include_features: bool = True):
+    ``edge_id_base`` offsets the served ``edge_ids`` so multiple per-split
+    streams can share one global edge-feature table (split-local ids indexing
+    a different split's table gather the wrong features silently). It defaults
+    to the split's recorded position in the pre-split dataset
+    (``DGData.edge_global_offset``), so streams over ``data.split()`` results
+    automatically emit ids into the FULL dataset's row space — pass the full
+    ``edge_x`` as the consumer's feature table.
+    """
+
+    def __init__(self, dg: DGraph, batch_size: int, include_features: bool = True,
+                 edge_id_base: Optional[int] = None):
+        if edge_id_base is None:
+            edge_id_base = int(getattr(dg._storage._data, "edge_global_offset", 0))
+        self._edge_id_base = edge_id_base
         src, dst, t = dg._storage.get_edges(dg._slice)
         E = len(src)
         self.num_edges = E
@@ -79,7 +92,9 @@ class DeviceEdgeStream:
         # Global edge ids of this window (-1 on padded rows): lets consumers
         # reference rows of split-wide static arrays (e.g. the eid-buffer
         # recency layout gathers features from edge_x by id at query time).
-        batch.edge_ids = jnp.where(valid, start + jnp.arange(B, dtype=jnp.int32), -1)
+        batch.edge_ids = jnp.where(
+            valid, self._edge_id_base + start + jnp.arange(B, dtype=jnp.int32), -1
+        )
         if self._edge_x is not None:
             batch.edge_x = jnp.where(
                 valid[:, None], lax.dynamic_slice_in_dim(self._edge_x, start, B), 0.0
@@ -110,6 +125,7 @@ class DeviceEventStream:
 
         W = plan.pad_edges
         self._We = W
+        self._edge_id_base = int(getattr(data, "edge_global_offset", 0))
         src = data.edge_index[:, 0].astype(np.int32)
         dst = data.edge_index[:, 1].astype(np.int32)
         et = data.time[data.edge_mask].astype(np.int32)
@@ -161,7 +177,9 @@ class DeviceEventStream:
             edge_time=jnp.where(valid, sl(self._t), 0),
             edge_valid=valid,
         )
-        batch.edge_ids = jnp.where(valid, start + jnp.arange(W, dtype=jnp.int32), -1)
+        batch.edge_ids = jnp.where(
+            valid, self._edge_id_base + start + jnp.arange(W, dtype=jnp.int32), -1
+        )
         if self._edge_x is not None:
             batch.edge_x = jnp.where(
                 valid[:, None], lax.dynamic_slice_in_dim(self._edge_x, start, W), 0.0

@@ -28,6 +28,9 @@ from ..hooks.neighbors import (
     recency_eid_query,
     recency_eid_update,
     recency_init,
+    recency_pk_init,
+    recency_pk_query,
+    recency_pk_update,
     recency_query,
     recency_update,
 )
@@ -73,6 +76,7 @@ class TGNPipeline:
         edge_x_full: Any = None,
         packed_state: bool = False,
         dedup_staging: bool = False,
+        packed_recency: bool = False,
     ) -> None:
         self.num_nodes = num_nodes
         self.state_row_multiple = state_row_multiple
@@ -90,7 +94,14 @@ class TGNPipeline:
         self.packed_state = packed_state
         # Stage each unique row once (seeds+neighbors carry ~30% duplicates at
         # wiki shapes) at the cost of one sort + an inverse gather per step.
+        # NOTE: this deliberately violates the CLAUDE.md "jnp.unique only off
+        # the hot path" invariant — it is an opt-in, benchmarked trade (the
+        # sort can pay for itself when staging dominates); keep it off unless
+        # a measurement on the target shapes says otherwise.
         self.dedup_staging = dedup_staging
+        # Packed eid recency: one (N, K, 3) int32 buffer [nbr, time, eid] —
+        # one gather/scatter per step instead of three (requires eid mode).
+        self.packed_recency = packed_recency
         # rowwise=True uses the dense per-seed attention (no segment scatters,
         # no dedup) — the TPU speed-of-light layout; rowwise=False keeps the
         # reference example's dedup + segment-softmax subgraph aggregation.
@@ -127,9 +138,14 @@ class TGNPipeline:
         if self.packed_state:
             mem_state = tgn_pack_state(mem_state)
         if self.edge_x_full is not None:
-            rec_state = recency_eid_init(
-                self.num_nodes, self.num_nbrs, self.state_row_multiple
-            )
+            if self.packed_recency:
+                rec_state = recency_pk_init(
+                    self.num_nodes, self.num_nbrs, self.state_row_multiple
+                )
+            else:
+                rec_state = recency_eid_init(
+                    self.num_nodes, self.num_nbrs, self.state_row_multiple
+                )
         else:
             rec_state = recency_init(
                 self.num_nodes, self.num_nbrs, self.edge_dim, self.state_row_multiple
@@ -172,7 +188,8 @@ class TGNPipeline:
         seeds = jnp.concatenate([batch.edge_src, batch.edge_dst, neg])
         seed_t = jnp.concatenate([batch.edge_time, batch.edge_time, neg_time])
         if self.edge_x_full is not None:
-            nbr_ids, nbr_t, nbr_e = recency_eid_query(rec_state, seeds, seed_t, K)
+            q = recency_pk_query if self.packed_recency else recency_eid_query
+            nbr_ids, nbr_t, nbr_e = q(rec_state, seeds, seed_t, K)
             nbr_x = gather_edge_feats(self.edge_x_full, nbr_e)
         else:
             nbr_ids, nbr_t, nbr_x = recency_query(rec_state, seeds, seed_t, K)
@@ -293,7 +310,8 @@ class TGNPipeline:
             self._raw_msg(batch), batch.edge_valid,
         )
         if self.edge_x_full is not None:
-            rec_state = recency_eid_update(
+            u = recency_pk_update if self.packed_recency else recency_eid_update
+            rec_state = u(
                 rec_state, batch.edge_src, batch.edge_dst, batch.edge_time,
                 batch.edge_ids, batch.edge_valid, directed=False,
             )
@@ -339,7 +357,8 @@ class TGNPipeline:
             [batch.edge_time, batch.edge_time, cand_times.reshape(-1)]
         )
         if self.edge_x_full is not None:
-            nbr_ids, nbr_t, nbr_e = recency_eid_query(rec_state, seeds, seed_t, K)
+            q = recency_pk_query if self.packed_recency else recency_eid_query
+            nbr_ids, nbr_t, nbr_e = q(rec_state, seeds, seed_t, K)
             nbr_x = gather_edge_feats(self.edge_x_full, nbr_e)
         else:
             nbr_ids, nbr_t, nbr_x = recency_query(rec_state, seeds, seed_t, K)
@@ -391,7 +410,8 @@ class TGNPipeline:
             method=TGNMemory.flush_packed if self.packed_state else TGNMemory.flush,
         )
         if self.edge_x_full is not None:
-            rec_state = recency_eid_update(
+            u = recency_pk_update if self.packed_recency else recency_eid_update
+            rec_state = u(
                 rec_state, batch.edge_src, batch.edge_dst, batch.edge_time,
                 batch.edge_ids, batch.edge_valid, directed=False,
             )

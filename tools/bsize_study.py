@@ -58,9 +58,10 @@ def main() -> None:
     lo, hi = int(dst.min()), int(dst.max())
 
     results = {}
+    edge_x_full = jnp.asarray(x)  # FULL table: global edge ids resolve
     for B in (200, 400):
         stream = DeviceEdgeStream(train_dg, B)
-        val_stream = DeviceEdgeStream(val_dg, B)
+        val_stream = DeviceEdgeStream(val_dg, B, edge_id_base=e1)
         nvb = val_stream.num_batches
         cands = jnp.asarray(
             rng.integers(lo, hi + 1, size=(nvb * B, Q)).astype(np.int32)
@@ -68,7 +69,7 @@ def main() -> None:
         pipe = TGNPipeline(
             num_nodes=WIKI_NODES, edge_dim=WIKI_EDGE_DIM, memory_dim=100,
             embed_dim=100, time_dim=100, num_nbrs=10, lr=1e-4,
-            neg_low=lo, neg_high=hi, edge_x_full=stream.edge_x,
+            neg_low=lo, neg_high=hi, edge_x_full=edge_x_full,
         )
         carry = pipe.init_carry(jax.random.PRNGKey(0))
         epoch = jit_scan_epoch(pipe.train_step, stream.batch_at,

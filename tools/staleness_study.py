@@ -64,13 +64,15 @@ def main() -> None:
                          size=(n_val_batches * B, Q)).astype(np.int32)
     cands_dev = jnp.asarray(cands)
 
+    edge_x_full = jnp.asarray(x)  # FULL table: global edge ids resolve
+
     def build():
         stream = DeviceEdgeStream(train_dg, B)
-        val_stream = DeviceEdgeStream(val_dg, B)
+        val_stream = DeviceEdgeStream(val_dg, B, edge_id_base=e1)
         pipe = TGNPipeline(
             num_nodes=N, edge_dim=D, memory_dim=32, embed_dim=32, time_dim=16,
             num_nbrs=10, lr=5e-4, neg_low=int(dst.min()), neg_high=int(dst.max()),
-            edge_x_full=stream.edge_x,
+            edge_x_full=edge_x_full,
         )
         return pipe, stream, val_stream
 
