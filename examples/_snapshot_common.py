@@ -4,6 +4,15 @@ Mirrors the reference's snapshot flow (/root/reference/examples/linkproppred/
 gclstm.py:187-208): a discretized snapshot loader advances the recurrent
 state while an event loader drives prediction batches; BPTT truncates at
 snapshot boundaries.
+
+Two execution modes share the same functional cores:
+
+* **scanned** (default) — the two-loader interleave is precomputed on host
+  (``tgm_tpu.train.snapshot.merged_snapshot_schedule``) and the whole epoch
+  runs as ONE jitted ``lax.scan`` with a ``lax.cond`` body: zero host
+  dispatch per step.
+* **eager** (``--eager``) — per-batch host loop through ``DGDataLoader``,
+  the reference's execution shape.
 """
 
 from __future__ import annotations
@@ -25,7 +34,7 @@ def snapshot_train_loop(
     init_recurrent: Callable[[], Any],
     train_step: Callable[[Any, Any], float],
 ):
-    """Run epochs of (snapshot-advance, predict) with truncation.
+    """Eager epochs of (snapshot-advance, predict) with truncation.
 
     ``snapshot_step(rec_state, snapshot_batch) -> (z, rec_state)`` advances the
     recurrence; ``train_step(z, batch) -> loss`` trains on prediction batches.
@@ -67,3 +76,148 @@ def snapshot_train_loop(
                         break
         dt = time.perf_counter() - t0
         print(f"epoch={epoch} loss={total / max(nb, 1):.4f} train_edges/s={n_edges / dt:.0f}")
+
+
+def run_snapshot_linkpred(
+    args,
+    train_data,
+    num_nodes: int,
+    snap_apply: Callable[[Any, Any, Any], Any],
+    init_rec: Callable[[], Any],
+    decoder,
+    opt,
+    params,
+):
+    """Train a snapshot link-prediction model (scanned by default).
+
+    ``snap_apply(params, rec, sbatch) -> (z, rec)`` is the model's pure
+    snapshot advance (it must ``stop_gradient`` its outputs — BPTT truncates
+    at snapshot boundaries, as in the reference examples); ``decoder`` scores
+    (z_src, z_dst) pairs; the BCE-with-random-negatives loss is shared by all
+    snapshot examples (/root/reference/examples/linkproppred/gclstm.py:57-96).
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tgm_tpu.train import DeviceEdgeStream, DeviceEventStream
+    from tgm_tpu.train.snapshot import (
+        merged_snapshot_schedule,
+        plan_edge_max_times,
+        scanned_snapshot_epoch,
+    )
+
+    coarse = TimeDeltaDG("s", args.snapshot_ticks)
+    snap_data = train_data.discretize(coarse)
+    train_dg = DGraph(train_data)
+    dst = train_dg.edge_dst
+    neg_hook = RandomNegativeEdgeSamplerHook(low=int(dst.min()), high=int(dst.max()))
+
+    # The epoch functions donate the carry; copy the caller's params so the
+    # caller's pytree stays valid (and reusable across runs/modes).
+    params = jax.tree.map(lambda a: jnp.array(a, copy=True), params)
+    opt_state = opt.init(params)
+
+    def train_core(carry, batch):
+        params, opt_state, rec, z, hstate = carry
+        hstate, batch = neg_hook.apply(hstate, batch)
+
+        def loss_fn(p):
+            safe = lambda ids: jnp.clip(ids, 0, num_nodes - 1)
+            pos = decoder.apply(p["dec"], z[safe(batch.edge_src)], z[safe(batch.edge_dst)])
+            neg = decoder.apply(p["dec"], z[safe(batch.edge_src)], z[safe(batch.neg)])
+            m = batch.edge_valid.astype(pos.dtype)
+            d = jnp.maximum(m.sum(), 1.0)
+            return (
+                jnp.sum(optax.sigmoid_binary_cross_entropy(pos, jnp.ones_like(pos)) * m)
+                + jnp.sum(optax.sigmoid_binary_cross_entropy(neg, jnp.zeros_like(neg)) * m)
+            ) / d
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, rec, z, hstate), loss
+
+    def snapshot_core(carry, sbatch):
+        params, opt_state, rec, z, hstate = carry
+        z, rec = snap_apply(params, rec, sbatch)
+        return (params, opt_state, rec, z, hstate)
+
+    def fresh_rec_z():
+        # De-alias every leaf: examples may alias buffers inside the initial
+        # recurrent state (e.g. GCLSTM's (H, C) = (z0, z0)), and the epoch
+        # functions donate the carry — the same buffer may not be donated
+        # twice, nor reused after donation.
+        rec = jax.tree.map(lambda a: jnp.array(a, copy=True), init_rec())
+        return rec, jnp.zeros((num_nodes, args.embed_dim))
+
+    rec0, z0 = fresh_rec_z()
+    carry = (params, opt_state, rec0, z0, neg_hook.init_state(train_dg))
+    n_edges = train_dg.num_edge_events
+
+    if getattr(args, "eager", False):
+        snap_jit = jax.jit(snapshot_core)
+        train_jit = jax.jit(train_core, donate_argnums=(0,))
+        conversion = args.snapshot_ticks
+        for epoch in range(args.epochs):
+            t0 = time.perf_counter()
+            params, opt_state, _, _, hstate = carry
+            rec, z = fresh_rec_z()
+            carry = (params, opt_state, rec, z, hstate)
+            snap_loader = iter(
+                DGDataLoader(DGraph(snap_data), args.snapshot_ticks,
+                             batch_unit="s", materialize_features=False)
+            )
+            sbatch = next(snap_loader)
+            carry = snap_jit(carry, sbatch)
+            snap_end = int(np.asarray(sbatch.edge_time).max())
+            total, nb = 0.0, 0
+            for batch in DGDataLoader(train_dg, args.bsize):
+                carry, loss = train_jit(carry, batch)
+                total += float(loss)
+                nb += 1
+                t_max = int(np.asarray(batch.edge_time).max())
+                while t_max > (snap_end + 1) * conversion:
+                    try:
+                        sbatch = next(snap_loader)
+                        carry = snap_jit(carry, sbatch)
+                        snap_end = int(np.asarray(sbatch.edge_time).max())
+                    except StopIteration:
+                        break
+            dt = time.perf_counter() - t0
+            print(f"epoch={epoch} loss={total / max(nb, 1):.4f} "
+                  f"train_edges/s={n_edges / dt:.0f}")
+        return carry
+
+    # Scanned mode: precompute the merged two-loader schedule on host, then
+    # run the whole epoch as one XLA program.
+    snap_loader = DGDataLoader(DGraph(snap_data), args.snapshot_ticks,
+                               batch_unit="s", materialize_features=False)
+    snap_stream = DeviceEventStream(snap_loader, include_features=False)
+    edge_stream = DeviceEdgeStream(train_dg, args.bsize, include_features=False)
+
+    snap_max = plan_edge_max_times(
+        snap_stream._plan, snap_data.time[snap_data.edge_mask]
+    )
+    _, _, t_host = train_dg._storage.get_edges(train_dg._slice)
+    E, B = len(t_host), args.bsize
+    ends = np.minimum((np.arange(edge_stream.num_batches) + 1) * B, E) - 1
+    batch_max = np.asarray(t_host)[ends]
+
+    kinds, idxs = merged_snapshot_schedule(snap_max, batch_max, args.snapshot_ticks)
+    epoch_fn = scanned_snapshot_epoch(
+        kinds, idxs, snap_stream.batch_at, edge_stream.batch_at,
+        snapshot_core, train_core,
+    )
+
+    for epoch in range(args.epochs):
+        t0 = time.perf_counter()
+        params, opt_state, _, _, hstate = carry
+        rec, z = fresh_rec_z()
+        carry = (params, opt_state, rec, z, hstate)
+        carry, losses, counts = epoch_fn(carry)
+        jax.block_until_ready(losses)
+        dt = time.perf_counter() - t0
+        mean_loss = float(np.sum(np.asarray(losses)) / max(float(np.sum(np.asarray(counts))), 1.0))
+        print(f"epoch={epoch} loss={mean_loss:.4f} train_edges/s={n_edges / dt:.0f}")
+    return carry

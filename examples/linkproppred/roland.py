@@ -7,7 +7,6 @@ a per-layer embedding-update mechanism carried across snapshots.
 from __future__ import annotations
 
 import sys
-from functools import partial
 from pathlib import Path
 
 import jax
@@ -18,7 +17,7 @@ import optax
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 from examples._datasets import load_dataset
-from examples._snapshot_common import snapshot_train_loop
+from examples._snapshot_common import run_snapshot_linkpred
 from tgm_tpu.nn import ROLAND, LinkPredictor
 from tgm_tpu.util import seed_everything
 
@@ -37,6 +36,7 @@ def main():
     p.add_argument("--update", type=str, default="learnable",
                    choices=["moving", "learnable", "gru", "mlp", "fixed"])
     p.add_argument("--tau", type=float, default=0.5)
+    p.add_argument("--eager", action="store_true", help="per-batch host loop")
     args = p.parse_args()
     seed_everything(args.seed)
 
@@ -63,10 +63,9 @@ def main():
         "enc": encoder.init(k1, node_x, e4, e4),
         "dec": decoder.init(k2, jnp.zeros((1, args.embed_dim)), jnp.zeros((1, args.embed_dim))),
     }
-    state = {"params": params, "opt": opt.init(params), "prev_edges": jnp.asarray(1.0)}
 
-    @jax.jit
-    def snap(params, prev_embs, n_prev, sbatch):
+    def snap_apply(params, rec, sbatch):
+        prev_embs, n_prev = rec
         n_cur = jnp.sum(sbatch.edge_valid.astype(jnp.float32))
         z, embs = encoder.apply(
             params["enc"], node_x, sbatch.edge_src, sbatch.edge_dst,
@@ -74,39 +73,16 @@ def main():
             num_current_edges=n_cur, num_previous_edges=n_prev,
             edge_valid=sbatch.edge_valid,
         )
-        return jax.lax.stop_gradient(z), [jax.lax.stop_gradient(e) for e in embs], n_cur
+        sg = jax.lax.stop_gradient
+        return sg(z), ([sg(e) for e in embs], n_cur)
 
-    @partial(jax.jit, donate_argnums=(1,))
-    def step(params, opt_state, z, batch):
-        def loss_fn(p):
-            safe = lambda ids: jnp.clip(ids, 0, num_nodes - 1)
-            pos = decoder.apply(p["dec"], z[safe(batch.edge_src)], z[safe(batch.edge_dst)])
-            neg = decoder.apply(p["dec"], z[safe(batch.edge_src)], z[safe(batch.neg)])
-            m = batch.edge_valid.astype(pos.dtype)
-            d = jnp.maximum(m.sum(), 1.0)
-            return (
-                jnp.sum(optax.sigmoid_binary_cross_entropy(pos, jnp.ones_like(pos)) * m)
-                + jnp.sum(optax.sigmoid_binary_cross_entropy(neg, jnp.zeros_like(neg)) * m)
-            ) / d
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = opt.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
-
-    def snapshot_step(rec, sbatch):
-        prev_embs, n_prev = rec
-        z, embs, n_cur = snap(state["params"], prev_embs, n_prev, sbatch)
-        return z, (embs, n_cur)
-
-    def init_recurrent():
+    def init_rec():
         z0 = jnp.zeros((num_nodes, args.embed_dim))
         return ([z0, z0], jnp.asarray(1.0))
 
-    def train_step(z, batch):
-        state["params"], state["opt"], loss = step(state["params"], state["opt"], z, batch)
-        return loss
-
-    snapshot_train_loop(args, train_data, num_nodes, snapshot_step, init_recurrent, train_step)
+    run_snapshot_linkpred(
+        args, train_data, num_nodes, snap_apply, init_rec, decoder, opt, params,
+    )
 
 
 if __name__ == "__main__":

@@ -8,7 +8,6 @@ hidden state; BPTT truncated at snapshot boundaries.
 from __future__ import annotations
 
 import sys
-from functools import partial
 from pathlib import Path
 
 import jax
@@ -19,7 +18,7 @@ import optax
 sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 
 from examples._datasets import load_dataset
-from examples._snapshot_common import snapshot_train_loop
+from examples._snapshot_common import run_snapshot_linkpred
 from tgm_tpu.nn import TGCN, LinkPredictor
 from tgm_tpu.util import seed_everything
 
@@ -35,6 +34,7 @@ def main():
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--embed-dim", type=int, default=64)
     p.add_argument("--snapshot-ticks", type=int, default=100)
+    p.add_argument("--eager", action="store_true", help="per-batch host loop")
     args = p.parse_args()
     seed_everything(args.seed)
 
@@ -57,44 +57,19 @@ def main():
         "enc": encoder.init(k1, node_x, e4, e4),
         "dec": decoder.init(k2, jnp.zeros((1, args.embed_dim)), jnp.zeros((1, args.embed_dim))),
     }
-    state = {"params": params, "opt": opt.init(params)}
 
-    @jax.jit
-    def snap(params, H, sbatch):
+    def snap_apply(params, H, sbatch):
         H2 = encoder.apply(
             params["enc"], node_x, sbatch.edge_src, sbatch.edge_dst, None, H,
             sbatch.edge_valid,
         )
-        return jax.lax.stop_gradient(H2)
-
-    @partial(jax.jit, donate_argnums=(1,))
-    def step(params, opt_state, z, batch):
-        def loss_fn(p):
-            safe = lambda ids: jnp.clip(ids, 0, num_nodes - 1)
-            pos = decoder.apply(p["dec"], z[safe(batch.edge_src)], z[safe(batch.edge_dst)])
-            neg = decoder.apply(p["dec"], z[safe(batch.edge_src)], z[safe(batch.neg)])
-            m = batch.edge_valid.astype(pos.dtype)
-            d = jnp.maximum(m.sum(), 1.0)
-            return (
-                jnp.sum(optax.sigmoid_binary_cross_entropy(pos, jnp.ones_like(pos)) * m)
-                + jnp.sum(optax.sigmoid_binary_cross_entropy(neg, jnp.zeros_like(neg)) * m)
-            ) / d
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = opt.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
-
-    def snapshot_step(H, sbatch):
-        H2 = snap(state["params"], H, sbatch)
+        H2 = jax.lax.stop_gradient(H2)
         return H2, H2
 
-    def train_step(z, batch):
-        state["params"], state["opt"], loss = step(state["params"], state["opt"], z, batch)
-        return loss
-
-    snapshot_train_loop(
-        args, train_data, num_nodes, snapshot_step,
-        lambda: jnp.zeros((num_nodes, args.embed_dim)), train_step,
+    run_snapshot_linkpred(
+        args, train_data, num_nodes, snap_apply,
+        lambda: jnp.zeros((num_nodes, args.embed_dim)),
+        decoder, opt, params,
     )
 
 

@@ -111,7 +111,7 @@ class DeviceEventStream:
     loader's event- or time-ordered plan can run under ``lax.scan``.
     """
 
-    def __init__(self, loader):
+    def __init__(self, loader, include_features: bool = True):
         plan = loader.plan()
         dg = loader.dgraph
         data = dg._storage._data
@@ -133,7 +133,9 @@ class DeviceEventStream:
         self._dst = jnp.asarray(pad_to(dst, W, PADDED_NODE_ID))
         self._t = jnp.asarray(pad_to(et, W, 0))
         self._edge_x = (
-            None if data.edge_x is None else jnp.asarray(pad_to(data.edge_x, W, 0.0))
+            None
+            if (data.edge_x is None or not include_features)
+            else jnp.asarray(pad_to(data.edge_x, W, 0.0))
         )
         self._e_off = jnp.asarray(plan.edge_offsets.astype(np.int32))
         self._e_cnt = jnp.asarray(plan.edge_counts.astype(np.int32))
