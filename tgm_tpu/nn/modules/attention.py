@@ -15,6 +15,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .linear import BlockDense
+
 
 class TemporalAttention(nn.Module):
     n_heads: int
@@ -32,7 +34,9 @@ class TemporalAttention(nn.Module):
         self.head_dim = self.out_dim // self.n_heads
 
         self.W_Q = nn.Dense(self.out_dim, use_bias=False)
-        self.W_KV = nn.Dense(self.out_dim * 2, use_bias=False)
+        # Block-split: identical math/params to Dense over the KV concat, but
+        # never materializes the (B, K, node+edge+time) tensor (see linear.py).
+        self.W_KV = BlockDense(self.out_dim * 2, use_bias=False)
         self.W_O = nn.Dense(self.out_dim)
         self.drop = nn.Dropout(self.dropout)
         self.layer_norm = nn.LayerNorm(epsilon=1e-5)
@@ -55,8 +59,7 @@ class TemporalAttention(nn.Module):
         R = jnp.concatenate([x, time_feat], axis=-1)  # (B, out_dim)
         Q = self.W_Q(R)
 
-        Z = jnp.concatenate([nbr_node_feat, edge_feat, nbr_time_feat], axis=-1)
-        Z = self.W_KV(Z)  # (B, K, 2*out_dim)
+        Z = self.W_KV([nbr_node_feat, edge_feat, nbr_time_feat])  # (B, K, 2*out_dim)
         Kmat = Z[..., : self.out_dim]
         V = Z[..., self.out_dim :]
 

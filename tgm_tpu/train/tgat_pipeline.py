@@ -51,9 +51,19 @@ class TGATPipeline:
         neg_high: int = 1,
         state_row_multiple: int = 1,
         edge_x_full: Any = None,
+        feat_bf16: "bool | None" = None,
     ) -> None:
+        from .tgn_pipeline import default_feat_bf16
+
         self.num_nodes = num_nodes
         self.edge_dim = edge_dim
+        if feat_bf16 is None:
+            feat_bf16 = default_feat_bf16()
+        self.feat_bf16 = feat_bf16
+        if feat_bf16:
+            node_x = jnp.asarray(node_x, jnp.bfloat16)
+            if edge_x_full is not None:
+                edge_x_full = jnp.asarray(edge_x_full, jnp.bfloat16)
         self.node_x = node_x
         self.num_nbrs = list(num_nbrs)
         self.neg_low = neg_low
