@@ -87,19 +87,33 @@ def run_snapshot_linkpred(
     decoder,
     opt,
     params,
+    val_data=None,
+    test_data=None,
+    val_cands=None,
+    test_cands=None,
 ):
-    """Train a snapshot link-prediction model (scanned by default).
+    """Train (and optionally evaluate) a snapshot link-prediction model.
 
     ``snap_apply(params, rec, sbatch) -> (z, rec)`` is the model's pure
     snapshot advance (it must ``stop_gradient`` its outputs — BPTT truncates
     at snapshot boundaries, as in the reference examples); ``decoder`` scores
     (z_src, z_dst) pairs; the BCE-with-random-negatives loss is shared by all
     snapshot examples (/root/reference/examples/linkproppred/gclstm.py:57-96).
+
+    With ``val_data``/``test_data`` + per-edge candidate arrays
+    ``(E_split, Q)``, each epoch evaluates val MRR (recurrent state continuing
+    from training, first eval snapshot consumed un-applied — reference eval
+    semantics) and re-evaluates test on val improvement
+    (/root/reference/examples/linkproppred/gclstm.py:223-265). The eager mode
+    (``--eager``) covers training only.
     """
     import jax
     import jax.numpy as jnp
     import optax
+    from jax import lax
 
+    from tgm_tpu.constants import PADDED_NODE_ID
+    from tgm_tpu.eval.metrics import mrr_sum_count
     from tgm_tpu.train import DeviceEdgeStream, DeviceEventStream
     from tgm_tpu.train.snapshot import (
         merged_snapshot_schedule,
@@ -112,18 +126,18 @@ def run_snapshot_linkpred(
     train_dg = DGraph(train_data)
     dst = train_dg.edge_dst
     neg_hook = RandomNegativeEdgeSamplerHook(low=int(dst.min()), high=int(dst.max()))
+    safe = lambda ids: jnp.clip(ids, 0, num_nodes - 1)
 
     # The epoch functions donate the carry; copy the caller's params so the
     # caller's pytree stays valid (and reusable across runs/modes).
     params = jax.tree.map(lambda a: jnp.array(a, copy=True), params)
     opt_state = opt.init(params)
 
-    def train_core(carry, batch):
+    def train_core(carry, batch, idx):
         params, opt_state, rec, z, hstate = carry
         hstate, batch = neg_hook.apply(hstate, batch)
 
         def loss_fn(p):
-            safe = lambda ids: jnp.clip(ids, 0, num_nodes - 1)
             pos = decoder.apply(p["dec"], z[safe(batch.edge_src)], z[safe(batch.edge_dst)])
             neg = decoder.apply(p["dec"], z[safe(batch.edge_src)], z[safe(batch.neg)])
             m = batch.edge_valid.astype(pos.dtype)
@@ -136,7 +150,7 @@ def run_snapshot_linkpred(
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
-        return (params, opt_state, rec, z, hstate), loss
+        return (params, opt_state, rec, z, hstate), (loss, jnp.float32(1.0))
 
     def snapshot_core(carry, sbatch):
         params, opt_state, rec, z, hstate = carry
@@ -157,7 +171,9 @@ def run_snapshot_linkpred(
 
     if getattr(args, "eager", False):
         snap_jit = jax.jit(snapshot_core)
-        train_jit = jax.jit(train_core, donate_argnums=(0,))
+        train_jit = jax.jit(
+            lambda c, b: train_core(c, b, 0), donate_argnums=(0,)
+        )
         conversion = args.snapshot_ticks
         for epoch in range(args.epochs):
             t0 = time.perf_counter()
@@ -173,7 +189,7 @@ def run_snapshot_linkpred(
             snap_end = int(np.asarray(sbatch.edge_time).max())
             total, nb = 0.0, 0
             for batch in DGDataLoader(train_dg, args.bsize):
-                carry, loss = train_jit(carry, batch)
+                carry, (loss, _) = train_jit(carry, batch)
                 total += float(loss)
                 nb += 1
                 t_max = int(np.asarray(batch.edge_time).max())
@@ -191,33 +207,87 @@ def run_snapshot_linkpred(
 
     # Scanned mode: precompute the merged two-loader schedule on host, then
     # run the whole epoch as one XLA program.
-    snap_loader = DGDataLoader(DGraph(snap_data), args.snapshot_ticks,
-                               batch_unit="s", materialize_features=False)
-    snap_stream = DeviceEventStream(snap_loader, include_features=False)
-    edge_stream = DeviceEdgeStream(train_dg, args.bsize, include_features=False)
+    def build_epoch(split_data, edge_core, apply_first):
+        sd = split_data.discretize(coarse)
+        dg = DGraph(split_data)
+        snap_stream = DeviceEventStream(
+            DGDataLoader(DGraph(sd), args.snapshot_ticks, batch_unit="s",
+                         materialize_features=False),
+            include_features=False,
+        )
+        edge_stream = DeviceEdgeStream(dg, args.bsize, include_features=False)
+        snap_max = plan_edge_max_times(snap_stream._plan, sd.time[sd.edge_mask])
+        _, _, t_host = dg._storage.get_edges(dg._slice)
+        E, B = len(t_host), args.bsize
+        ends = np.minimum((np.arange(edge_stream.num_batches) + 1) * B, E) - 1
+        batch_max = np.asarray(t_host)[ends]
+        kinds, idxs = merged_snapshot_schedule(
+            snap_max, batch_max, args.snapshot_ticks, apply_first=apply_first
+        )
+        return scanned_snapshot_epoch(
+            kinds, idxs, snap_stream.batch_at, edge_stream.batch_at,
+            snapshot_core, edge_core, donate_carry=False,
+        ), edge_stream.num_batches
 
-    snap_max = plan_edge_max_times(
-        snap_stream._plan, snap_data.time[snap_data.edge_mask]
-    )
-    _, _, t_host = train_dg._storage.get_edges(train_dg._slice)
-    E, B = len(t_host), args.bsize
-    ends = np.minimum((np.arange(edge_stream.num_batches) + 1) * B, E) - 1
-    batch_max = np.asarray(t_host)[ends]
+    def make_eval_core(cands: np.ndarray, nb: int):
+        B = args.bsize
+        Q = cands.shape[1]
+        padded = np.full((nb * B, Q), PADDED_NODE_ID, np.int32)
+        padded[: len(cands)] = cands
+        cands_d = jnp.asarray(padded)
 
-    kinds, idxs = merged_snapshot_schedule(snap_max, batch_max, args.snapshot_ticks)
-    epoch_fn = scanned_snapshot_epoch(
-        kinds, idxs, snap_stream.batch_at, edge_stream.batch_at,
-        snapshot_core, train_core,
-    )
+        def eval_core(carry, batch, idx):
+            params, _, _, z, _ = carry
+            rows = lax.dynamic_slice(cands_d, (idx * B, 0), (B, Q))
+            pos = decoder.apply(params["dec"], z[safe(batch.edge_src)], z[safe(batch.edge_dst)])
+            zc = z[safe(rows.reshape(-1))]
+            zs = jnp.repeat(z[safe(batch.edge_src)][:, None, :], Q, axis=1)
+            negs = decoder.apply(
+                params["dec"], zs.reshape(B * Q, -1), zc
+            ).reshape(B, Q)
+            s, c = mrr_sum_count(
+                pos, negs, neg_valid=rows != PADDED_NODE_ID,
+                edge_valid=batch.edge_valid,
+            )
+            return carry, (s, c)
 
+        return eval_core
+
+    train_epoch, _ = build_epoch(train_data, train_core, apply_first=True)
+    val_epoch = test_epoch = None
+    if val_data is not None and val_cands is not None:
+        nb_v = max(1, -(-val_data.edge_index.shape[0] // args.bsize))
+        val_epoch, _ = build_epoch(
+            val_data, make_eval_core(val_cands, nb_v), apply_first=False
+        )
+    if test_data is not None and test_cands is not None:
+        nb_t = max(1, -(-test_data.edge_index.shape[0] // args.bsize))
+        test_epoch, _ = build_epoch(
+            test_data, make_eval_core(test_cands, nb_t), apply_first=False
+        )
+
+    def ratio(a, b):
+        return float(np.sum(np.asarray(a)) / max(float(np.sum(np.asarray(b))), 1.0))
+
+    best_val, test_mrr = 0.0, 0.0
     for epoch in range(args.epochs):
         t0 = time.perf_counter()
         params, opt_state, _, _, hstate = carry
         rec, z = fresh_rec_z()
         carry = (params, opt_state, rec, z, hstate)
-        carry, losses, counts = epoch_fn(carry)
+        carry, losses, counts = train_epoch(carry)
         jax.block_until_ready(losses)
         dt = time.perf_counter() - t0
-        mean_loss = float(np.sum(np.asarray(losses)) / max(float(np.sum(np.asarray(counts))), 1.0))
-        print(f"epoch={epoch} loss={mean_loss:.4f} train_edges/s={n_edges / dt:.0f}")
+        line = f"epoch={epoch} loss={ratio(losses, counts):.4f} train_edges/s={n_edges / dt:.0f}"
+        if val_epoch is not None:
+            carry, s, c = val_epoch(carry)
+            val_mrr = ratio(s, c)
+            line += f" val_mrr={val_mrr:.4f}"
+            if test_epoch is not None and val_mrr > best_val:
+                best_val = val_mrr
+                carry, s, c = test_epoch(carry)
+                test_mrr = ratio(s, c)
+        print(line)
+    if test_epoch is not None:
+        print(f"test_mrr={test_mrr:.4f}")
     return carry

@@ -44,7 +44,7 @@ def main():
     args = parse_args()
     seed_everything(args.seed)
 
-    data, _, _ = load_dataset(args.dataset)
+    data, val_cands, test_cands = load_dataset(args.dataset)
     if data.static_node_x is None:
         rng = np.random.default_rng(args.seed)
         data.static_node_x = rng.normal(size=(data.num_nodes, 16)).astype(np.float32)
@@ -81,6 +81,8 @@ def main():
 
     run_snapshot_linkpred(
         args, train_data, num_nodes, snap_apply, init_rec, proj, opt, params,
+        val_data=val_data, test_data=test_data,
+        val_cands=val_cands, test_cands=test_cands,
     )
 
 

@@ -40,13 +40,13 @@ def main():
     args = p.parse_args()
     seed_everything(args.seed)
 
-    data, _, _ = load_dataset(args.dataset)
+    data, val_cands, test_cands = load_dataset(args.dataset)
     if data.static_node_x is None:
         rng = np.random.default_rng(args.seed)
         data.static_node_x = rng.normal(size=(data.num_nodes, 16)).astype(np.float32)
     num_nodes = data.num_nodes
     node_x = jnp.asarray(data.static_node_x)
-    train_data, _, _ = data.split()
+    train_data, val_data, test_data = data.split()
 
     update = None if args.update == "fixed" else args.update
     encoder = ROLAND(
@@ -82,6 +82,8 @@ def main():
 
     run_snapshot_linkpred(
         args, train_data, num_nodes, snap_apply, init_rec, decoder, opt, params,
+        val_data=val_data, test_data=test_data,
+        val_cands=val_cands, test_cands=test_cands,
     )
 
 

@@ -38,13 +38,13 @@ def main():
     args = p.parse_args()
     seed_everything(args.seed)
 
-    data, _, _ = load_dataset(args.dataset)
+    data, val_cands, test_cands = load_dataset(args.dataset)
     if data.static_node_x is None:
         rng = np.random.default_rng(args.seed)
         data.static_node_x = rng.normal(size=(data.num_nodes, 16)).astype(np.float32)
     num_nodes = data.num_nodes
     node_x = jnp.asarray(data.static_node_x)
-    train_data, _, _ = data.split()
+    train_data, val_data, test_data = data.split()
 
     encoder = TGCN(in_channels=node_x.shape[1], out_channels=args.embed_dim)
     decoder = LinkPredictor(node_dim=args.embed_dim, hidden_dim=args.embed_dim)
@@ -70,6 +70,8 @@ def main():
         args, train_data, num_nodes, snap_apply,
         lambda: jnp.zeros((num_nodes, args.embed_dim)),
         decoder, opt, params,
+        val_data=val_data, test_data=test_data,
+        val_cands=val_cands, test_cands=test_cands,
     )
 
 

@@ -172,8 +172,11 @@ def test_scanned_snapshot_epoch_cond_dispatch():
     def snapshot_core(carry, sval):
         return carry + sval
 
-    def train_core(carry, bval):
-        return carry, carry + bval
+    def train_core(carry, bval, idx):
+        # idx is the event-batch index within the epoch (used by eval cores
+        # to look up per-batch candidate rows); echo it in the count slot's
+        # sanity by returning a unit count.
+        return carry, (carry + bval, jnp.float32(1.0))
 
     epoch = scanned_snapshot_epoch(
         kinds, idxs, lambda i: snap_vals[i], lambda i: batch_vals[i],

@@ -42,6 +42,7 @@ def merged_snapshot_schedule(
     snap_max_times: np.ndarray,
     batch_max_times: np.ndarray,
     conversion: int,
+    apply_first: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Precompute the (kind, index) step sequence of the two-loader interleave.
 
@@ -51,6 +52,11 @@ def merged_snapshot_schedule(
     event batch snapshots advance while ``t_max > (snap_end + 1) * conversion``
     (``snap_end`` in discretized ticks, ``t_max`` in raw units) until the
     snapshot stream is exhausted.
+
+    ``apply_first=False`` replicates the reference's *eval* loops
+    (/root/reference/examples/linkproppred/gclstm.py:137-160): the first
+    snapshot batch is consumed as the initial ``snap_end`` marker but NOT run
+    through the encoder (the recurrent state arrives from training).
     """
     kinds: list[int] = []
     idxs: list[int] = []
@@ -58,8 +64,9 @@ def merged_snapshot_schedule(
     si = 0
     snap_end = None
     if n_snap > 0:
-        kinds.append(0)
-        idxs.append(0)
+        if apply_first:
+            kinds.append(0)
+            idxs.append(0)
         snap_end = int(snap_max_times[0])
         si = 1
     for b, tmax in enumerate(batch_max_times):
@@ -81,17 +88,18 @@ def scanned_snapshot_epoch(
     snap_batch_at: Callable[[jnp.ndarray], Any],
     edge_batch_at: Callable[[jnp.ndarray], Any],
     snapshot_core: Callable[[Any, Any], Any],
-    train_core: Callable[[Any, Any], Tuple[Any, jnp.ndarray]],
+    edge_core: Callable[[Any, Any, jnp.ndarray], Tuple[Any, Tuple[jnp.ndarray, jnp.ndarray]]],
     donate_carry: bool = True,
 ):
     """One jitted XLA program for the merged snapshot epoch.
 
     ``snapshot_core(carry, snapshot_batch) -> carry`` advances the recurrence
     (it owns where in the carry the embeddings ``z`` live);
-    ``train_core(carry, event_batch) -> (carry, loss)`` trains on a prediction
-    batch. Returns ``epoch(carry) -> (carry, losses, is_train)`` where
-    ``losses``/``is_train`` are per-step (0 on snapshot steps); mean epoch loss
-    is ``sum(losses) / sum(is_train)``.
+    ``edge_core(carry, event_batch, batch_idx) -> (carry, (a, b))`` handles a
+    prediction batch and emits a scalar pair — (loss, 1) for training, or
+    (mrr_sum, count) for evaluation. Returns ``epoch(carry) -> (carry, a, b)``
+    with per-step arrays (0 on snapshot steps); the epoch metric is
+    ``sum(a) / sum(b)``.
     """
     kinds_d = jnp.asarray(kinds)
     idxs_d = jnp.asarray(idxs)
@@ -105,14 +113,14 @@ def scanned_snapshot_epoch(
             def snap_branch(c):
                 return snapshot_core(c, snap_batch_at(idx)), jnp.float32(0.0), jnp.float32(0.0)
 
-            def train_branch(c):
-                c2, loss = train_core(c, edge_batch_at(idx))
-                return c2, loss.astype(jnp.float32), jnp.float32(1.0)
+            def edge_branch(c):
+                c2, (a, b) = edge_core(c, edge_batch_at(idx), idx)
+                return c2, a.astype(jnp.float32), b.astype(jnp.float32)
 
-            c, loss, cnt = lax.cond(kind == 0, snap_branch, train_branch, c)
-            return c, (loss, cnt)
+            c, a, b = lax.cond(kind == 0, snap_branch, edge_branch, c)
+            return c, (a, b)
 
-        carry, (losses, counts) = lax.scan(body, carry, jnp.arange(n_steps))
-        return carry, losses, counts
+        carry, (a, b) = lax.scan(body, carry, jnp.arange(n_steps))
+        return carry, a, b
 
     return jax.jit(epoch, donate_argnums=(0,) if donate_carry else ())
