@@ -189,6 +189,8 @@ def main() -> None:
                    help="stage unique memory rows only (sort + inverse gather)")
     p.add_argument("--packed-recency", action="store_true",
                    help="packed (N,K,3) recency buffer: 1 gather/scatter vs 3")
+    p.add_argument("--feat-bf16", choices=["auto", "on", "off"], default="auto",
+                   help="bf16 storage for static feature tables (auto: on for TPU)")
     p.add_argument(
         "--with-eval", action="store_true",
         help="also time a scanned candidate-list eval epoch (tgn only; adds "
@@ -224,6 +226,7 @@ def main() -> None:
     data = build_stream(num_nodes, num_edges, edge_dim)
     dg = DGraph(data)
     stream = DeviceEdgeStream(dg, args.bsize)
+    feat_bf16 = {"auto": None, "on": True, "off": False}[args.feat_bf16]
 
     if args.model == "tgn-hooks":
         run_hook_bench(args, dg, stream, num_nodes, num_edges, edge_dim)
@@ -249,6 +252,7 @@ def main() -> None:
             neg_low=int(dg.edge_dst.min()),
             neg_high=int(dg.edge_dst.max()),
             edge_x_full=stream.edge_x,
+            feat_bf16=feat_bf16,
         )
     else:
         pipe = TGNPipeline(
@@ -264,6 +268,7 @@ def main() -> None:
             edge_x_full=stream.edge_x,
             dedup_staging=args.dedup_staging,
             packed_recency=args.packed_recency,
+            feat_bf16=feat_bf16,
         )
     carry = pipe.init_carry(jax.random.PRNGKey(0))
     epoch = jit_scan_epoch(pipe.train_step, stream.batch_at, stream.num_batches,

@@ -188,3 +188,30 @@ def test_torch_gru_cell_matches_torch():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(got2))
     # Leaf names/shapes mirror torch exactly (wi/bi/wh/bh).
     assert set(p["params"]) == {"wi", "bi", "wh", "bh"}
+
+
+def test_block_dense_matches_dense_over_concat():
+    """BlockDense (kept as a documented negative result, modules/linear.py)
+    must stay numerically identical to Dense over the last-dim concat so the
+    measurement can be reproduced."""
+    from flax import linen as nn
+
+    from tgm_tpu.nn.modules.linear import BlockDense
+
+    a = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 5))
+    b = jax.random.normal(jax.random.PRNGKey(2), (4, 3, 7))
+    block = BlockDense(6)
+    params = block.init(KEY, [a, b])
+    dense = nn.Dense(6)
+    out_block = block.apply(params, [a, b])
+    out_dense = dense.apply(params, jnp.concatenate([a, b], axis=-1))
+    assert out_block.shape == (4, 3, 6)
+    np.testing.assert_allclose(
+        np.asarray(out_block), np.asarray(out_dense), atol=1e-6
+    )
+    # bf16 blocks: identical params, bf16 matmul with f32 accumulation.
+    out_bf = block.apply(params, [a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)])
+    assert out_bf.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(out_bf), np.asarray(out_dense), atol=2e-2
+    )

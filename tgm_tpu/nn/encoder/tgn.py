@@ -36,7 +36,6 @@ from flax import linen as nn
 from ...constants import PADDED_NODE_ID
 from ...ops.segment import segment_max, segment_softmax, segment_sum
 from ..modules.gru import TorchGRUCell
-from ..modules.linear import BlockDense
 from ..modules.time_encoding import Time2Vec
 
 
@@ -672,12 +671,14 @@ class GraphAttentionEmbeddingRowwise(nn.Module):
         self.head_dim = self.out_channels // self.n_heads
         self.time_enc = Time2Vec(time_dim=self.time_dim)
         self.lin_query = nn.Dense(self.out_channels)
-        # Block-split / flattened projections (modules/linear.py): same params
-        # as Dense over the concat, but the wide (S, K, time+msg) tensor never
-        # materializes and all matmuls run on 2-D views (no 3-D relayouts).
-        self.lin_key = BlockDense(self.out_channels)
-        self.lin_value = BlockDense(self.out_channels)
-        self.lin_edge = BlockDense(self.out_channels, use_bias=False)
+        # Dense over the 3-D concat: XLA splits the dot across concat operands
+        # without materializing the wide (S, K, time+msg) tensor. The flattened
+        # BlockDense form forced that buffer to materialize and measured a 27%
+        # TGAT-epoch regression on v5e (see modules/attention.py) — keep the
+        # compiler-friendly form.
+        self.lin_key = nn.Dense(self.out_channels)
+        self.lin_value = nn.Dense(self.out_channels)
+        self.lin_edge = nn.Dense(self.out_channels, use_bias=False)
         self.lin_skip = nn.Dense(self.out_channels)
         self.drop = nn.Dropout(self.dropout)
 
@@ -694,13 +695,14 @@ class GraphAttentionEmbeddingRowwise(nn.Module):
         S, K = nbr_valid.shape
         H, C = self.n_heads, self.head_dim
         rel_t = seed_last_update[:, None] - nbr_time
-        e = self.lin_edge(
-            [self.time_enc(rel_t.astype(jnp.float32)), nbr_msg]
-        ).reshape(S, K, H, C)
+        edge_attr = jnp.concatenate(
+            [self.time_enc(rel_t.astype(jnp.float32)), nbr_msg], axis=-1
+        )
+        e = self.lin_edge(edge_attr).reshape(S, K, H, C)
 
         q = self.lin_query(x_seed).reshape(S, H, C)
-        k = self.lin_key([x_nbr]).reshape(S, K, H, C) + e
-        v = self.lin_value([x_nbr]).reshape(S, K, H, C) + e
+        k = self.lin_key(x_nbr).reshape(S, K, H, C) + e
+        v = self.lin_value(x_nbr).reshape(S, K, H, C) + e
 
         logits = jnp.einsum("shc,skhc->skh", q, k) * (C**-0.5)
         logits = jnp.where(nbr_valid[:, :, None], logits, -1e10)

@@ -1,14 +1,18 @@
 """Flattened fused linear projections over feature blocks.
 
-``Dense(concat([a, b, c]))`` on ``(B, K, d)`` operands makes XLA materialize
-3-D concat/relayout copies of tens of MB per step (profiled on TPU v5e: the
-copies around the attention K/V concat were a top-3 cost of the TGAT scan
-body). ``BlockDense`` computes the identical affine map but (1) flattens every
-block to 2-D first (2-D matmul operands take the natural row-major layout — no
-{0,2,1} relayouts), (2) concatenates once in the matmul dtype, and (3) runs
-ONE matmul (a naive per-block split was measured 27% WORSE end-to-end: three
-``(rows, features)`` f32 partial sums cost more HBM traffic than the concat
-they avoid).
+**Measured negative result — not used by the shipped encoders.** The idea:
+``Dense(concat([a, b, c]))`` on ``(B, K, d)`` operands looked (in an xprof
+trace) like it forced 3-D concat/relayout copies, so ``BlockDense`` flattens
+every block to 2-D first, concatenates once in the matmul dtype, and runs ONE
+matmul. End-to-end on v5e it did the opposite: the hand-flattened 2-D concat
+*forces* the wide ``(B*K, sum d_i)`` buffer to materialize, while XLA's
+default lowering of ``Dense(concat(...))`` splits the dot across the concat
+operands and never materializes it. Scanned-epoch throughput with BlockDense
+in the attention K/V projections: TGAT 77.2k -> 56.4k edges/s (-27%), TGN
+190.7k -> ~186.5k. Both encoders were reverted to Dense-over-concat
+(modules/attention.py, encoder/tgn.py). Kept as a documented measurement with
+its unit test; don't reintroduce without an end-to-end A/B. (A per-block
+split variant was also measured, 27% worse than the flattened form.)
 
 Parameter tree matches ``nn.Dense`` (param ``kernel`` of shape
 ``(sum d_i, features)``, optional ``bias``), so it is checkpoint- and

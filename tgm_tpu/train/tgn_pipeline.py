@@ -49,17 +49,17 @@ _SENTINEL = jnp.iinfo(jnp.int32).max
 
 
 def default_feat_bf16() -> bool:
-    """Auto policy for bf16 feature-table storage: on for TPU backends.
+    """Auto policy for bf16 feature-table storage: OFF (measured neutral).
 
     XLA's default TPU matmul already rounds f32 operands to bf16 on the MXU,
-    so storing the static feature tables in bf16 does not change matmul
-    numerics there — it only halves the HBM traffic of the per-step feature
-    gathers (profiled as a top cost of both scanned pipelines). On CPU/GPU
-    the default stays f32 (tests/parity compare against f32 torch)."""
-    try:
-        return jax.devices()[0].platform not in ("cpu", "gpu")
-    except Exception:  # pragma: no cover
-        return False
+    so bf16 tables don't change matmul numerics there — the hope was halved
+    HBM traffic on the per-step feature gathers. Measured on v5e at wiki
+    shapes: TGN 258.4k (f32) vs 257.8k (bf16) edges/s — neutral; TGAT 77.3k
+    vs 75.2k — a 2.7% LOSS (the f32 time-encoding concat forces a bf16->f32
+    convert of the gathered features). Default is therefore f32; pass
+    ``feat_bf16=True`` to halve the table's HBM *footprint* when capacity
+    (not speed) is the constraint."""
+    return False
 
 
 class TGNCarry(NamedTuple):
