@@ -191,6 +191,8 @@ def main() -> None:
                    help="packed (N,K,3) recency buffer: 1 gather/scatter vs 3")
     p.add_argument("--feat-bf16", choices=["auto", "on", "off"], default="auto",
                    help="bf16 storage for static feature tables (auto: on for TPU)")
+    p.add_argument("--attn-bf16", choices=["auto", "on", "off"], default="auto",
+                   help="bf16 K/V attention path (tgat; f32 accumulation)")
     p.add_argument(
         "--with-eval", action="store_true",
         help="also time a scanned candidate-list eval epoch (tgn only; adds "
@@ -253,6 +255,7 @@ def main() -> None:
             neg_high=int(dg.edge_dst.max()),
             edge_x_full=stream.edge_x,
             feat_bf16=feat_bf16,
+            attn_bf16={"auto": None, "on": True, "off": False}[args.attn_bf16],
         )
     else:
         pipe = TGNPipeline(

@@ -215,3 +215,26 @@ def test_block_dense_matches_dense_over_concat():
     np.testing.assert_allclose(
         np.asarray(out_bf), np.asarray(out_dense), atol=2e-2
     )
+
+
+def test_temporal_attention_kv_bf16_close_to_f32():
+    """kv_bf16 casts only the K/V operand pipeline to bf16 (f32 accumulation);
+    identical params, f32 output, values within bf16 rounding of the f32 path."""
+    B, K = 6, 4
+    kw = dict(n_heads=2, node_dim=10, edge_dim=3, time_dim=5, dropout=0.0)
+    rngs = jax.random.split(jax.random.PRNGKey(3), 5)
+    args = (
+        jax.random.normal(rngs[0], (B, 10)),
+        jax.random.normal(rngs[1], (B, 5)),
+        jax.random.normal(rngs[2], (B, K, 3)),
+        jax.random.normal(rngs[3], (B, K, 10)),
+        jax.random.normal(rngs[4], (B, K, 5)),
+        jnp.ones((B, K), dtype=bool),
+    )
+    m32 = TemporalAttention(**kw)
+    mbf = TemporalAttention(**kw, kv_bf16=True)
+    params = m32.init(KEY, *args)
+    out32 = m32.apply(params, *args)
+    outbf = mbf.apply(params, *args)  # same param tree
+    assert outbf.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(outbf), np.asarray(out32), atol=3e-2)

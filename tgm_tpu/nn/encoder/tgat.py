@@ -42,6 +42,8 @@ class TGAT(nn.Module):
     num_layers: int
     n_heads: int = 2
     dropout: float = 0.1
+    # bf16 K/V attention path (see modules/attention.py:TemporalAttention).
+    kv_bf16: bool = False
 
     # For HookManager.validate_requirement (EncoderModule protocol).
     requires: Set[str] = frozenset(
@@ -57,6 +59,7 @@ class TGAT(nn.Module):
                 edge_dim=self.edge_dim,
                 time_dim=self.time_dim,
                 dropout=self.dropout,
+                kv_bf16=self.kv_bf16,
             )
             for i in range(self.num_layers)
         ]

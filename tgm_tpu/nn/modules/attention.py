@@ -22,6 +22,15 @@ class TemporalAttention(nn.Module):
     edge_dim: int
     time_dim: int
     dropout: float = 0.1
+    # bf16 K/V path: cast the three K/V operands (neighbor/edge/time feats) to
+    # bf16 before the concat+projection and accumulate the attention dots in
+    # f32. On TPU this matches what the MXU already does to f32 matmul inputs
+    # (round operands to bf16, accumulate f32), but making it explicit lets
+    # XLA keep the whole (B, K, node+edge+time) pipeline in bf16 — profiling
+    # showed mixed f32/bf16 concat operands force a per-step bf16 conversion
+    # sweep of the full edge-feature table plus a 20 MB relayout copy of the
+    # gathered hop-2 features. Default off (CPU parity tests compare f32).
+    kv_bf16: bool = False
 
     def setup(self) -> None:
         if min(self.n_heads, self.node_dim, self.edge_dim, self.time_dim) <= 0:
@@ -37,7 +46,11 @@ class TemporalAttention(nn.Module):
         # The flattened BlockDense variant forced that buffer to materialize
         # and measured a 27% TGAT epoch regression on v5e (77.2k -> 56.4k
         # edges/s) — keep the compiler-friendly form here.
-        self.W_KV = nn.Dense(self.out_dim * 2, use_bias=False)
+        self.W_KV = nn.Dense(
+            self.out_dim * 2,
+            use_bias=False,
+            dtype=jnp.bfloat16 if self.kv_bf16 else None,
+        )
         self.W_O = nn.Dense(self.out_dim)
         self.drop = nn.Dropout(self.dropout)
         self.layer_norm = nn.LayerNorm(epsilon=1e-5)
@@ -60,21 +73,34 @@ class TemporalAttention(nn.Module):
         R = jnp.concatenate([x, time_feat], axis=-1)  # (B, out_dim)
         Q = self.W_Q(R)
 
+        if self.kv_bf16:
+            nbr_node_feat = nbr_node_feat.astype(jnp.bfloat16)
+            edge_feat = edge_feat.astype(jnp.bfloat16)
+            nbr_time_feat = nbr_time_feat.astype(jnp.bfloat16)
         Z = jnp.concatenate([nbr_node_feat, edge_feat, nbr_time_feat], axis=-1)
         Z = self.W_KV(Z)  # (B, K, 2*out_dim)
         Kmat = Z[..., : self.out_dim]
         V = Z[..., self.out_dim :]
 
-        q = Q.reshape(B, self.n_heads, self.head_dim)
+        q = Q.astype(Z.dtype).reshape(B, self.n_heads, self.head_dim)
         k = Kmat.reshape(B, K, self.n_heads, self.head_dim)
         v = V.reshape(B, K, self.n_heads, self.head_dim)
 
-        attn = jnp.einsum("bhd,bkhd->bhk", q, k) * (self.head_dim**-0.5)
+        # f32 accumulation either way; bf16 operands when kv_bf16 (identical
+        # to the MXU's default handling of f32 operands on TPU).
+        attn = jnp.einsum(
+            "bhd,bkhd->bhk", q, k, preferred_element_type=jnp.float32
+        ) * (self.head_dim**-0.5)
         attn = jnp.where(valid_nbr_mask[:, None, :], attn, -1e10)
         attn = nn.softmax(attn, axis=-1)
         attn = self.drop(attn, deterministic=deterministic)
 
-        out = jnp.einsum("bhk,bkhd->bhd", attn, v).reshape(B, self.out_dim)
+        out = jnp.einsum(
+            "bhk,bkhd->bhd",
+            attn.astype(Z.dtype),
+            v,
+            preferred_element_type=jnp.float32,
+        ).reshape(B, self.out_dim)
         out = self.W_O(out)
         out = self.drop(out, deterministic=deterministic)
         return self.layer_norm(out + R)

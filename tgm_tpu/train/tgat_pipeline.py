@@ -29,6 +29,24 @@ from ..nn.decoder import LinkPredictor
 from ..nn.encoder.tgat import TGAT
 
 
+def default_attn_bf16() -> bool:
+    """Auto policy for the bf16 K/V attention path: ON for TPU backends.
+
+    On TPU the MXU already rounds f32 matmul operands to bf16 with f32
+    accumulation, so the explicit-bf16 K/V path changes numerics only in the
+    (rounded-anyway) projection output; what it buys is an all-bf16 gather →
+    concat → dot pipeline with no per-step f32→bf16 sweep of the edge table
+    and a halved hop-2 relayout copy. Measured on v5e at wiki shapes: TGAT
+    77.3k → 91.7k edges/s (+19%). CPU/GPU stay f32 (true-f32 matmuls there;
+    tests/parity compare against f32 torch)."""
+    try:
+        import jax
+
+        return jax.devices()[0].platform not in ("cpu", "gpu")
+    except Exception:  # pragma: no cover
+        return False
+
+
 class TGATCarry(NamedTuple):
     params: Any
     opt_state: Any
@@ -52,6 +70,7 @@ class TGATPipeline:
         state_row_multiple: int = 1,
         edge_x_full: Any = None,
         feat_bf16: "bool | None" = None,
+        attn_bf16: "bool | None" = None,
     ) -> None:
         from .tgn_pipeline import default_feat_bf16
 
@@ -72,6 +91,9 @@ class TGATPipeline:
         # eid-buffer recency (see tgn_pipeline.py): carry edge ids, gather
         # features from this static array at query time.
         self.edge_x_full = edge_x_full
+        if attn_bf16 is None:
+            attn_bf16 = default_attn_bf16()
+        self.attn_bf16 = attn_bf16
         self.encoder = TGAT(
             node_dim=node_x.shape[1],
             edge_dim=edge_dim,
@@ -80,6 +102,7 @@ class TGATPipeline:
             num_layers=len(self.num_nbrs),
             n_heads=n_heads,
             dropout=0.0,
+            kv_bf16=attn_bf16,
         )
         self.decoder = LinkPredictor(node_dim=embed_dim, hidden_dim=embed_dim)
         self.opt = optax.adam(lr)
