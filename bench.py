@@ -124,9 +124,11 @@ def run_hook_bench(args, dg, stream, num_nodes, num_edges, edge_dim) -> None:
                        memory_dim=dims, time_dim=dims)
     # Rowwise attention: the examples' default hook-path encoder (the segment
     # variant measured 43.0k vs 186k edges/s here — scatters serialize).
+    # TGN attention measured bf16-neutral (staging-bound) — auto = f32.
+    attn_bf16 = {"auto": False, "on": True, "off": False}[args.attn_bf16]
     encoder = GraphAttentionEmbeddingRowwise(
         in_channels=dims, out_channels=dims, msg_dim=edge_dim, time_dim=dims,
-        dropout=0.0,
+        dropout=0.0, kv_bf16=attn_bf16,
     )
     decoder = LinkPredictor(node_dim=dims, hidden_dim=dims)
     opt = optax.adam(1e-4)
@@ -192,7 +194,8 @@ def main() -> None:
     p.add_argument("--feat-bf16", choices=["auto", "on", "off"], default="auto",
                    help="bf16 storage for static feature tables (auto: on for TPU)")
     p.add_argument("--attn-bf16", choices=["auto", "on", "off"], default="auto",
-                   help="bf16 K/V attention path (tgat; f32 accumulation)")
+                   help="bf16 K/V attention path, f32 accumulation "
+                        "(all models; auto: on for TPU)")
     p.add_argument(
         "--with-eval", action="store_true",
         help="also time a scanned candidate-list eval epoch (tgn only; adds "
@@ -272,6 +275,7 @@ def main() -> None:
             dedup_staging=args.dedup_staging,
             packed_recency=args.packed_recency,
             feat_bf16=feat_bf16,
+            attn_bf16={"auto": None, "on": True, "off": False}[args.attn_bf16],
         )
     carry = pipe.init_carry(jax.random.PRNGKey(0))
     epoch = jit_scan_epoch(pipe.train_step, stream.batch_at, stream.num_batches,

@@ -39,6 +39,7 @@ from tgm_tpu.hooks import (
     seed_lookup,
 )
 from tgm_tpu.nn import TGAT, LinkPredictor
+from tgm_tpu.train.tgat_pipeline import default_attn_bf16
 from tgm_tpu.util import enable_logging, log_metric, seed_everything
 
 
@@ -115,6 +116,7 @@ def main() -> None:
         num_layers=len(args.n_nbrs),
         n_heads=args.n_heads,
         dropout=args.dropout,
+        kv_bf16=default_attn_bf16(),
     )
     decoder = LinkPredictor(node_dim=args.embed_dim)
     opt = optax.adam(args.lr)

@@ -25,6 +25,7 @@ from tgm_tpu import DGDataLoader, DGraph
 from tgm_tpu.eval.metrics import ndcg_at_k
 from tgm_tpu.hooks import HookManager, RecencyNeighborHook
 from tgm_tpu.nn import TGAT, NodePredictor
+from tgm_tpu.train.tgat_pipeline import default_attn_bf16
 from tgm_tpu.util import seed_everything
 
 
@@ -65,6 +66,7 @@ def main():
     encoder = TGAT(
         node_dim=node_x.shape[1], edge_dim=edge_dim, time_dim=args.time_dim,
         embed_dim=args.embed_dim, num_layers=len(args.n_nbrs), dropout=args.dropout,
+        kv_bf16=default_attn_bf16(),
     )
     decoder = NodePredictor(in_dim=args.embed_dim, out_dim=num_classes)
     opt = optax.adam(args.lr)

@@ -238,3 +238,28 @@ def test_temporal_attention_kv_bf16_close_to_f32():
     outbf = mbf.apply(params, *args)  # same param tree
     assert outbf.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(outbf), np.asarray(out32), atol=3e-2)
+
+
+def test_rowwise_attention_kv_bf16_close_to_f32():
+    """GraphAttentionEmbeddingRowwise(kv_bf16=True): same params, f32 output,
+    values within bf16 rounding of the f32 path."""
+    from tgm_tpu.nn.encoder.tgn import GraphAttentionEmbeddingRowwise
+
+    S, K, M, D = 6, 4, 100, 172
+    kw = dict(in_channels=M, out_channels=M, msg_dim=D, time_dim=M, dropout=0.0)
+    r = jax.random.split(jax.random.PRNGKey(7), 5)
+    args = (
+        jax.random.normal(r[0], (S, M)),
+        jax.random.normal(r[1], (S, K, M)),
+        jnp.arange(S, dtype=jnp.int32) + 10,
+        jnp.ones((S, K), jnp.int32),
+        jax.random.normal(r[2], (S, K, D)),
+        jnp.ones((S, K), bool),
+    )
+    m32 = GraphAttentionEmbeddingRowwise(**kw)
+    mbf = GraphAttentionEmbeddingRowwise(**kw, kv_bf16=True)
+    params = m32.init(KEY, *args)
+    out32 = m32.apply(params, *args)
+    outbf = mbf.apply(params, *args)
+    assert outbf.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(outbf), np.asarray(out32), atol=5e-2)

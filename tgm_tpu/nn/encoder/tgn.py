@@ -665,6 +665,10 @@ class GraphAttentionEmbeddingRowwise(nn.Module):
     time_dim: int
     n_heads: int = 2
     dropout: float = 0.1
+    # bf16 K/V pipeline with f32-accumulated dots — numerically what the TPU
+    # MXU does to f32 operands anyway; keeps the gathered neighbor tensors in
+    # bf16 end-to-end (see modules/attention.py:TemporalAttention.kv_bf16).
+    kv_bf16: bool = False
 
     def setup(self) -> None:
         assert self.out_channels % self.n_heads == 0
@@ -676,9 +680,10 @@ class GraphAttentionEmbeddingRowwise(nn.Module):
         # BlockDense form forced that buffer to materialize and measured a 27%
         # TGAT-epoch regression on v5e (see modules/attention.py) — keep the
         # compiler-friendly form.
-        self.lin_key = nn.Dense(self.out_channels)
-        self.lin_value = nn.Dense(self.out_channels)
-        self.lin_edge = nn.Dense(self.out_channels, use_bias=False)
+        kvdt = jnp.bfloat16 if self.kv_bf16 else None
+        self.lin_key = nn.Dense(self.out_channels, dtype=kvdt)
+        self.lin_value = nn.Dense(self.out_channels, dtype=kvdt)
+        self.lin_edge = nn.Dense(self.out_channels, use_bias=False, dtype=kvdt)
         self.lin_skip = nn.Dense(self.out_channels)
         self.drop = nn.Dropout(self.dropout)
 
@@ -695,19 +700,30 @@ class GraphAttentionEmbeddingRowwise(nn.Module):
         S, K = nbr_valid.shape
         H, C = self.n_heads, self.head_dim
         rel_t = seed_last_update[:, None] - nbr_time
-        edge_attr = jnp.concatenate(
-            [self.time_enc(rel_t.astype(jnp.float32)), nbr_msg], axis=-1
-        )
+        time_feat = self.time_enc(rel_t.astype(jnp.float32))
+        if self.kv_bf16:
+            time_feat = time_feat.astype(jnp.bfloat16)
+            nbr_msg = nbr_msg.astype(jnp.bfloat16)
+            x_nbr = x_nbr.astype(jnp.bfloat16)
+        edge_attr = jnp.concatenate([time_feat, nbr_msg], axis=-1)
         e = self.lin_edge(edge_attr).reshape(S, K, H, C)
 
         q = self.lin_query(x_seed).reshape(S, H, C)
         k = self.lin_key(x_nbr).reshape(S, K, H, C) + e
         v = self.lin_value(x_nbr).reshape(S, K, H, C) + e
 
-        logits = jnp.einsum("shc,skhc->skh", q, k) * (C**-0.5)
+        # f32 accumulation either way; bf16 operands when kv_bf16 (identical
+        # to the MXU's default handling of f32 operands on TPU).
+        logits = jnp.einsum(
+            "shc,skhc->skh", q.astype(k.dtype), k,
+            preferred_element_type=jnp.float32,
+        ) * (C**-0.5)
         logits = jnp.where(nbr_valid[:, :, None], logits, -1e10)
         alpha = jax.nn.softmax(logits, axis=1)
         alpha = jnp.where(nbr_valid[:, :, None], alpha, 0.0)
         alpha = self.drop(alpha, deterministic=deterministic)
-        out = jnp.einsum("skh,skhc->shc", alpha, v).reshape(S, self.out_channels)
+        out = jnp.einsum(
+            "skh,skhc->shc", alpha.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).reshape(S, self.out_channels)
         return out + self.lin_skip(x_seed)

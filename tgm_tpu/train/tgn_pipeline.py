@@ -92,6 +92,7 @@ class TGNPipeline:
         dedup_staging: bool = False,
         packed_recency: bool = False,
         feat_bf16: Optional[bool] = None,
+        attn_bf16: Optional[bool] = None,
     ) -> None:
         self.num_nodes = num_nodes
         self.state_row_multiple = state_row_multiple
@@ -136,13 +137,20 @@ class TGNPipeline:
             memory_dim=memory_dim,
             time_dim=time_dim,
         )
+        # bf16 K/V attention measured NEUTRAL for TGN on v5e (257.7k vs
+        # 258.4k edges/s — the step is staging-bound, not attention-bound),
+        # so TGN defaults to exact f32; TGAT (attention-bound, +19%) turns
+        # it on via its own default_attn_bf16 policy.
+        self.attn_bf16 = bool(attn_bf16)
         enc_cls = GraphAttentionEmbeddingRowwise if rowwise else GraphAttentionEmbedding
+        enc_kwargs = {"kv_bf16": attn_bf16} if rowwise else {}
         self.encoder = enc_cls(
             in_channels=memory_dim,
             out_channels=embed_dim,
             msg_dim=edge_dim,
             time_dim=time_dim,
             dropout=dropout,
+            **enc_kwargs,
         )
         self.decoder = LinkPredictor(node_dim=embed_dim, hidden_dim=embed_dim)
         self.opt = optax.adam(lr)
