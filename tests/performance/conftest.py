@@ -66,6 +66,21 @@ def preloaded_graphs():
     return {name: build_dataset(name) for name, *_ in DATASETS}
 
 
+@pytest.fixture(autouse=True)
+def _isolate_jit_caches():
+    """Each benchmark measures from a clean compilation-cache state.
+
+    Without this, executables + retained device buffers from earlier matrix
+    cells accumulate tens of GB of RSS and the late cells slow down by
+    orders of magnitude from allocator pressure (measured: the final cell
+    runs in ~2 s in a fresh process but was still running 45 min into a
+    full-matrix session)."""
+    yield
+    import jax
+
+    jax.clear_caches()
+
+
 def measure(fn, *, min_rounds: int = 3, warmup: int = 1) -> float:
     """Best-of-N wall-clock seconds (pytest-benchmark isn't installed)."""
     for _ in range(warmup):
