@@ -180,6 +180,131 @@ def run_hook_bench(args, dg, stream, num_nodes, num_edges, edge_dim) -> None:
     print(json.dumps(out))
 
 
+def run_dygformer_bench(args, dg, stream, num_nodes, num_edges, edge_dim) -> None:
+    """DyGFormer through the scanned hook path (reference example hyperparams:
+    20 recency neighbors, seq len 32, channel dim 50, output 172 —
+    /root/reference/examples/linkproppred/dygformer.py)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tgm_tpu.hooks import (
+        HookManager,
+        RandomNegativeEdgeSamplerHook,
+        RecencyNeighborHook,
+    )
+    from tgm_tpu.nn import DyGFormer, LinkPredictor
+    from tgm_tpu.train import scanned_hook_epoch
+
+    embed_dim = 172
+    hm = HookManager(keys=["train"])
+    hm.register(
+        "train",
+        RandomNegativeEdgeSamplerHook(
+            low=int(dg.edge_dst.min()), high=int(dg.edge_dst.max())
+        ),
+    )
+    hm.register_shared(
+        RecencyNeighborHook(
+            num_nodes, [20], ["edge_src", "edge_dst", "neg"],
+            ["edge_time", "edge_time", "neg_time"], edge_dim=edge_dim,
+            edge_x_full=dg._storage._data.edge_x,
+        )
+    )
+    node_x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(num_nodes, 1)).astype(np.float32)
+    )
+    encoder = DyGFormer(
+        node_feat_dim=1, edge_x_dim=edge_dim, time_feat_dim=100,
+        channel_embedding_dim=50, output_dim=embed_dim, patch_size=1,
+        max_input_sequence_length=32, dropout=0.0,
+    )
+    decoder = LinkPredictor(node_dim=embed_dim, hidden_dim=embed_dim)
+    opt = optax.adam(1e-4)
+
+    def encode_pair(p, batch, seed_a, seed_b, nbrs, nts, nxs):
+        return encoder.apply(
+            p["enc"], node_x, seed_a, seed_b, batch.edge_time, nbrs, nts, nxs
+        )
+
+    def train_core(carry, batch):
+        params, opt_state, rng = carry
+        rng, _ = jax.random.split(rng)
+        B = batch.edge_src.shape[0]
+        nbr = batch.nbr_nids[0]
+        nt = batch.nbr_edge_time[0]
+        nx = batch.nbr_edge_x[0]
+
+        def loss_fn(p):
+            zs, zd = encode_pair(
+                p, batch, batch.edge_src, batch.edge_dst,
+                jnp.concatenate([nbr[:B], nbr[B:2 * B]]),
+                jnp.concatenate([nt[:B], nt[B:2 * B]]),
+                jnp.concatenate([nx[:B], nx[B:2 * B]]),
+            )
+            zs2, zn = encode_pair(
+                p, batch, batch.edge_src, batch.neg,
+                jnp.concatenate([nbr[:B], nbr[2 * B:]]),
+                jnp.concatenate([nt[:B], nt[2 * B:]]),
+                jnp.concatenate([nx[:B], nx[2 * B:]]),
+            )
+            pos = decoder.apply(p["dec"], zs, zd)
+            neg = decoder.apply(p["dec"], zs2, zn)
+            m = batch.edge_valid.astype(pos.dtype)
+            d = jnp.maximum(m.sum(), 1.0)
+            return (
+                jnp.sum(optax.sigmoid_binary_cross_entropy(pos, jnp.ones_like(pos)) * m)
+                + jnp.sum(optax.sigmoid_binary_cross_entropy(neg, jnp.zeros_like(neg)) * m)
+            ) / d
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, rng), loss
+
+    key = jax.random.PRNGKey(0)
+    key, k1, k2 = jax.random.split(key, 3)
+    B0 = args.bsize
+    enc_params = encoder.init(
+        k1, node_x, jnp.zeros(B0, jnp.int32), jnp.zeros(B0, jnp.int32),
+        jnp.zeros(B0, jnp.int32), jnp.zeros((2 * B0, 20), jnp.int32),
+        jnp.zeros((2 * B0, 20), jnp.int32), jnp.zeros((2 * B0, 20, edge_dim)),
+    )
+    dec_params = decoder.init(
+        k2, jnp.zeros((1, embed_dim)), jnp.zeros((1, embed_dim))
+    )
+    params = {"enc": enc_params, "dec": dec_params}
+    opt_state = opt.init(params)
+    epoch, hstates = scanned_hook_epoch(stream, hm, "train", dg, train_core)
+
+    carry = (params, opt_state, key)
+    carry, hstates, losses = epoch(carry, hstates)  # compile + warm
+    jax.block_until_ready(losses)
+    first_loss = float(np.asarray(losses)[0])
+    assert np.isfinite(first_loss), f"non-finite loss: {first_loss}"
+
+    times = []
+    for _ in range(max(args.epochs, 1)):
+        t0 = _time.perf_counter()
+        carry, hstates, losses = epoch(carry, hstates)
+        jax.block_until_ready(losses)
+        times.append(_time.perf_counter() - t0)
+
+    edges_per_sec = num_edges / min(times)
+    out = {
+        "metric": "dygformer_train_edges_per_sec_tgbl_wiki_shape",
+        "value": round(edges_per_sec, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(edges_per_sec / BASELINE_CUDA_ESTIMATE_EDGES_PER_SEC, 3),
+        "baseline_is": "tgm_cuda_estimate_15k",
+    }
+    # No vs_reference_cpu field: the measured CPU baseline is the reference
+    # TGN loop — a different model than DyGFormer.
+    print(json.dumps(out))
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--smoke", action="store_true", help="tiny shapes, fast check")
@@ -203,7 +328,7 @@ def main() -> None:
     )
     p.add_argument(
         "--model", type=str, default="tgn",
-        choices=["tgn", "tgat", "tgn-hooks"],
+        choices=["tgn", "tgat", "tgn-hooks", "dygformer"],
         help="tgn/tgat: hand-fused scanned pipelines; tgn-hooks: the "
         "advertised HookManager API driven through scanned_hook_epoch",
     )
@@ -235,6 +360,10 @@ def main() -> None:
 
     if args.model == "tgn-hooks":
         run_hook_bench(args, dg, stream, num_nodes, num_edges, edge_dim)
+        return
+
+    if args.model == "dygformer":
+        run_dygformer_bench(args, dg, stream, num_nodes, num_edges, edge_dim)
         return
 
     if args.model == "tgat":

@@ -50,6 +50,11 @@ def parse_args():
     p.add_argument("--embed-dim", type=int, default=172)
     p.add_argument("--patch-size", type=int, default=1)
     p.add_argument("--max-seq-len", type=int, default=32)
+    p.add_argument(
+        "--eager", action="store_true",
+        help="run the hook pipeline per batch from host Python instead of "
+        "the default scanned hook-pipeline epochs",
+    )
     return p.parse_args()
 
 
@@ -124,8 +129,8 @@ def main():
     params = {"enc": enc_params, "dec": dec_params}
     opt_state = opt.init(params)
 
-    @partial(jax.jit, donate_argnums=(1, 2))
-    def train_step(params, opt_state, rng, batch):
+    def train_core(carry, batch):
+        params, opt_state, rng = carry
         rng, kd = jax.random.split(rng)
         B = batch.edge_src.shape[0]
         nbr = batch.nbr_nids[0]
@@ -161,10 +166,11 @@ def main():
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = opt.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, rng, loss
+        return (params, opt_state, rng), loss
 
-    @jax.jit
-    def eval_step(params, batch):
+    train_step = jax.jit(train_core, donate_argnums=(0,))
+
+    def eval_core(params, batch):
         B = batch.edge_src.shape[0]
         Q = batch.neg_batch_list.shape[1]
         nbr = batch.nbr_nids[0]
@@ -196,33 +202,90 @@ def main():
             jnp.concatenate([nx_src_rep, nx[cand_rows]]),
         )
         neg_score = decoder.apply(params["dec"], zs2, zn).reshape(B, Q)
-        return mrr_sum_count(
+        return params, mrr_sum_count(
             pos_score, neg_score,
             neg_valid=(batch.neg_batch_list != PADDED_NODE_ID)
             & found.reshape(B, Q),
             edge_valid=batch.edge_valid,
         )
 
+    eval_step = jax.jit(eval_core)
+
+    # --- scanned hook-pipeline epochs (default execution model) -------- #
+    from tgm_tpu.train import DeviceEdgeStream, scanned_hook_epoch
+
+    streams = (
+        None
+        if args.eager
+        else {
+            "train": DeviceEdgeStream(train_dg, args.bsize),
+            "val": DeviceEdgeStream(val_dg, args.bsize),
+            "test": DeviceEdgeStream(test_dg, args.bsize),
+        }
+    )
+    dgs = {"train": train_dg, "val": val_dg, "test": test_dg}
+    epoch_fns = {}
+
+    def scanned_epoch(split, core):
+        if split not in epoch_fns:
+            epoch_fns[split] = scanned_hook_epoch(
+                streams[split], hm, split, dgs[split], core
+            )[0]
+        _, hstates = hm.as_transform(split, dgs[split])
+        return epoch_fns[split], hstates
+
     def run_train():
         nonlocal params, opt_state, key
+        if not args.eager:
+            ep, hstates = scanned_epoch("train", train_core)
+            (params, opt_state, key), hstates, losses = ep(
+                (params, opt_state, key), hstates
+            )
+            hm.adopt_states("train", hstates)
+            return float(np.mean(np.asarray(losses)))
         loader = DGDataLoader(train_dg, args.bsize, hook_manager=hm)
         total, nb = 0.0, 0
         with hm.activate("train"):
             for batch in loader:
-                params, opt_state, key, loss = train_step(params, opt_state, key, batch)
+                (params, opt_state, key), loss = train_step(
+                    (params, opt_state, key), batch
+                )
                 total += float(loss)
                 nb += 1
         return total / max(nb, 1)
 
     def run_eval(dg, split):
+        nonlocal params
+        if not args.eager:
+            ep, hstates = scanned_epoch(split, eval_core)
+            params, hstates, (sv, cv) = ep(params, hstates)
+            hm.adopt_states(split, hstates)
+            return float(jnp.sum(sv)) / max(float(jnp.sum(cv)), 1.0)
         loader = DGDataLoader(dg, args.bsize, hook_manager=hm)
         s, c = 0.0, 0.0
         with hm.activate(split):
             for batch in loader:
-                ds, dc = eval_step(params, batch)
+                params, (ds, dc) = eval_step(params, batch)
                 s += float(ds)
                 c += float(dc)
         return s / max(c, 1.0)
+
+    def replay(split):
+        """Advance hook state over a split without computing the model."""
+        if not args.eager:
+            key_ = f"replay-{split}"
+            if key_ not in epoch_fns:
+                epoch_fns[key_] = scanned_hook_epoch(
+                    streams[split], hm, split, dgs[split],
+                    lambda c, b: (c, jnp.float32(0)),
+                )[0]
+            _, hstates = hm.as_transform(split, dgs[split])
+            _, hstates, _ = epoch_fns[key_](jnp.float32(0), hstates)
+            hm.adopt_states(split, hstates)
+            return
+        with hm.activate(split):
+            for _ in DGDataLoader(dgs[split], args.bsize, hook_manager=hm):
+                pass
 
     n_edges = train_dg.num_edge_events
     for epoch in range(args.epochs):
@@ -233,12 +296,8 @@ def main():
         print(f"epoch={epoch} loss={loss:.4f} val_mrr={val_mrr:.4f} train_edges/s={n_edges / dt:.0f}")
         hm.reset_state()
 
-    with hm.activate("train"):
-        for _ in DGDataLoader(train_dg, args.bsize, hook_manager=hm):
-            pass
-    with hm.activate("val"):
-        for _ in DGDataLoader(val_dg, args.bsize, hook_manager=hm):
-            pass
+    replay("train")
+    replay("val")
     test_mrr = run_eval(test_dg, "test")
     print(f"test_mrr={test_mrr:.4f}")
 

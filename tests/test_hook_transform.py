@@ -144,3 +144,25 @@ def test_scanned_eval_epoch_matches_eager_loop():
 
     np.testing.assert_allclose(float(jnp.sum(s_arr)), s_e, rtol=1e-6)
     np.testing.assert_allclose(float(jnp.sum(c_arr)), c_e, rtol=1e-6)
+
+
+def test_repeated_as_transform_reuses_seeded_state():
+    """as_transform must cache a freshly-initialized state on the hook:
+    init_state forks the global PRNG for negative samplers, so a repeated
+    export (e.g. one per epoch) must NOT advance to a different random
+    stream than the first — that diverged scanned epochs from eager ones
+    at batch 0 (observed in the DyGFormer example)."""
+    dg, hm = build()
+    seed_everything(3)
+    _, s1 = hm.as_transform("train", dg)
+    _, s2 = hm.as_transform("train", dg)
+    for a, b in zip(jax.tree_util.tree_leaves(s1), jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # And the eager path must run from the same state the export saw.
+    batches = list(DGDataLoader(dg, batch_size=16))
+    fn, states = hm.as_transform("train", dg)
+    _, tb = fn(states, batches[0])
+    with hm.activate("train"):
+        eb = hm.execute_active_hooks(dg, batches[0])
+    np.testing.assert_array_equal(np.asarray(tb.neg), np.asarray(eb.neg))

@@ -260,9 +260,20 @@ class HookManager:
         hooks = self._key_to_hooks[key]
         # Reuse live state (e.g. recency buffers carried over from a previous
         # split's iteration) so scanned and eager execution interleave freely.
+        # A freshly-initialized state is CACHED on the hook: init_state may
+        # fork the global PRNG (negative samplers), so without caching a
+        # repeated export — or an eager step after an export — would run from
+        # a different random stream than the first export (observed as a
+        # batch-0 negatives divergence between scanned and eager epochs).
         def state_of(h: DGHook) -> Any:
-            live = getattr(h, "state", None) if h.has_state else None
-            return live if live is not None else h.init_state(dg)
+            if not h.has_state:
+                return None
+            live = getattr(h, "state", None)
+            if live is not None:
+                return live
+            s = h.init_state(dg)
+            h.state = s
+            return s
 
         states = [state_of(h) for h in hooks]
 
