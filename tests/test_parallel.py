@@ -74,3 +74,74 @@ def test_shard_leading_axis_specs():
     sh = shard_leading_axis(mesh, tree)
     assert sh["a"].spec == jax.sharding.PartitionSpec("data", None)
     assert sh["b"].spec == jax.sharding.PartitionSpec()
+
+
+def _tiny_tgat(batch_size=16, row_multiple=1):
+    from tgm_tpu.core.batch import DGBatch
+    from tgm_tpu.train import TGATPipeline
+
+    rng = np.random.default_rng(0)
+    N, D = 32, 4
+    node_x = jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32))
+    edge_x_full = jnp.asarray(
+        rng.normal(size=(256, D)).astype(np.float32)
+    )
+    pipe = TGATPipeline(
+        num_nodes=N, edge_dim=D, node_x=node_x, num_nbrs=(4, 4),
+        time_dim=8, embed_dim=16, n_heads=2, lr=1e-3,
+        neg_low=0, neg_high=N, state_row_multiple=row_multiple,
+        edge_x_full=edge_x_full,
+    )
+    B = batch_size
+    batch = DGBatch(
+        edge_src=jnp.asarray(rng.integers(0, N, B), jnp.int32),
+        edge_dst=jnp.asarray(rng.integers(0, N, B), jnp.int32),
+        edge_time=jnp.asarray(np.sort(rng.integers(1, 100, B)), jnp.int32),
+        edge_valid=jnp.ones(B, bool),
+    )
+    batch.edge_ids = jnp.arange(B, dtype=jnp.int32)
+    return pipe, batch
+
+
+def test_sharded_tgat_train_step_matches_single_device():
+    """The sharded TGAT train step (DP batch + node-sharded recency rows)
+    must reproduce the single-device loss."""
+    from tgm_tpu.parallel import tgat_carry_shardings
+
+    pipe1, batch1 = _tiny_tgat(batch_size=16)
+    carry1 = pipe1.init_carry(jax.random.PRNGKey(0))
+    _, loss1 = jax.jit(pipe1.train_step)(carry1, batch1)
+
+    pipe8, batch8 = _tiny_tgat(batch_size=16, row_multiple=8)
+    carry8 = pipe8.init_carry(jax.random.PRNGKey(0))
+    mesh = make_mesh()
+    carry8 = jax.device_put(carry8, tgat_carry_shardings(mesh, carry8))
+    batch8 = jax.device_put(batch8, batch_shardings(mesh, batch8))
+    new_carry, loss8 = jax.jit(pipe8.train_step)(carry8, batch8)
+    jax.block_until_ready(loss8)
+    np.testing.assert_allclose(float(loss1), float(loss8), rtol=1e-4)
+    # Recency state advanced identically (up to row padding).
+    for a, b in zip(
+        jax.jit(pipe1.train_step)(carry1, batch1)[0].rec_state,
+        new_carry.rec_state,
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_array_equal(a, b[: a.shape[0]])
+
+
+def test_sharded_tgat_2d_mesh_step():
+    """TGAT carry under a 2-D (data, model) mesh: TP column-sharded params."""
+    from tgm_tpu.parallel import data_model_mesh, tgat_carry_shardings_2d
+
+    pipe1, batch1 = _tiny_tgat(batch_size=16)
+    carry1 = pipe1.init_carry(jax.random.PRNGKey(0))
+    _, loss1 = jax.jit(pipe1.train_step)(carry1, batch1)
+
+    pipe, batch = _tiny_tgat(batch_size=16, row_multiple=4)
+    carry = pipe.init_carry(jax.random.PRNGKey(0))
+    mesh = data_model_mesh(4, 2)
+    carry = jax.device_put(carry, tgat_carry_shardings_2d(mesh, carry))
+    batch = jax.device_put(batch, batch_shardings(mesh, batch))
+    _, loss = jax.jit(pipe.train_step)(carry, batch)
+    jax.block_until_ready(loss)
+    np.testing.assert_allclose(float(loss1), float(loss), rtol=1e-4)

@@ -5,6 +5,8 @@ from .sharding import (
     replicated,
     row_sharded,
     shard_leading_axis,
+    tgat_carry_shardings,
+    tgat_carry_shardings_2d,
     tgn_carry_shardings,
     tgn_carry_shardings_2d,
     tp_param_shardings,
@@ -21,5 +23,7 @@ __all__ = [
     "replicated",
     "row_sharded",
     "shard_leading_axis",
+    "tgat_carry_shardings",
+    "tgat_carry_shardings_2d",
     "tgn_carry_shardings",
 ]

@@ -84,6 +84,31 @@ def tp_param_shardings(mesh: Mesh, params: Any, axis: str = "model") -> Any:
     return jax.tree_util.tree_map(spec, params)
 
 
+def tgat_carry_shardings(mesh: Mesh, carry: Any, axis: str = "data") -> Any:
+    """Sharding layout for a TGAT training carry (params, opt_state,
+    rec_state, rng): recency rows node-sharded, params/opt replicated."""
+    from ..train.tgat_pipeline import TGATCarry
+
+    return TGATCarry(
+        params=replicate_tree(mesh, carry.params),
+        opt_state=replicate_tree(mesh, carry.opt_state),
+        rec_state=shard_leading_axis(mesh, carry.rec_state, axis),
+        rng=NamedSharding(mesh, P()),
+    )
+
+
+def tgat_carry_shardings_2d(mesh: Mesh, carry: Any) -> Any:
+    """DP + TP layout for a TGAT carry on a ('data', 'model') mesh."""
+    from ..train.tgat_pipeline import TGATCarry
+
+    return TGATCarry(
+        params=tp_param_shardings(mesh, carry.params),
+        opt_state=tp_param_shardings(mesh, carry.opt_state),
+        rec_state=shard_leading_axis(mesh, carry.rec_state, "data"),
+        rng=NamedSharding(mesh, P()),
+    )
+
+
 def tgn_carry_shardings_2d(mesh: Mesh, carry: TGNCarry) -> TGNCarry:
     """DP + TP layout on a ('data', 'model') mesh: node-state rows sharded on
     'data', parameter matrices column-sharded on 'model', optimizer moments
