@@ -14,6 +14,7 @@ run examples/linkproppred/edgebank.py --dataset synthetic-300-4000 --bsize 200
 run examples/linkproppred/tgat.py --dataset synthetic-300-4000 --bsize 200 --n-nbrs 5 5 --embed-dim 32 --time-dim 16 --epochs 1
 run examples/linkproppred/tgn.py --dataset synthetic-300-4000 --bsize 200 --embed-dim 32 --memory-dim 32 --time-dim 16 --epochs 1
 run examples/linkproppred/gclstm.py --dataset synthetic-300-4000 --bsize 200 --embed-dim 32 --epochs 1
+run examples/linkproppred/dygformer.py --dataset synthetic-300-4000 --bsize 200 --n-nbrs 5 --max-seq-len 8 --channel-dim 8 --embed-dim 32 --time-dim 8 --epochs 1
 run examples/nodeproppred/tgn.py --dataset synthetic-300-4000 --bsize 100 --embed-dim 32 --memory-dim 32 --time-dim 16 --epochs 1
 run examples/graphproppred/gcn.py --dataset synthetic-300-4000 --epochs 2
 run __graft_entry__.py
