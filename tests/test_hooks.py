@@ -345,3 +345,38 @@ def test_uniform_sampler_without_replacement_stats():
     # Each individual neighbor within ~5 sigma of binomial expectation.
     sigma = np.sqrt(expect * (1 - expect) / trials)
     assert np.all(np.abs(freq - expect) < 5 * sigma), freq
+
+
+def test_dense_push_plan_bit_matches_sort_plan():
+    """The sort-free dense push plan (hooks/neighbors.py:_push_plan_dense,
+    +6.9% TGN epoch on v5e) must produce bit-identical buffers to the
+    stable-lexsort plan across ties, invalid events, both directions, and
+    evolved write positions."""
+    import tgm_tpu.hooks.neighbors as nb
+
+    rng = np.random.default_rng(7)
+    try:
+        for _ in range(12):
+            N = int(rng.integers(3, 40))
+            B = int(rng.integers(1, 8))
+            E = int(rng.integers(1, 60))
+            directed = bool(rng.integers(0, 2))
+            src = jnp.asarray(rng.integers(0, N, E), jnp.int32)
+            dst = jnp.asarray(rng.integers(0, N, E), jnp.int32)
+            # Small time range => heavy (node, time) ties.
+            t = jnp.asarray(np.sort(rng.integers(0, max(2, E // 3), E)), jnp.int32)
+            eids = jnp.asarray(rng.integers(0, 1000, E), jnp.int32)
+            valid = jnp.asarray(rng.random(E) > 0.2)
+            outs = []
+            for flag in (False, True):
+                nb.USE_DENSE_PUSH = flag
+                s = nb.recency_eid_init(N, B)
+                for rep in range(3):
+                    s = nb.recency_eid_update(
+                        s, src, dst, t + rep * 5, eids, valid, directed=directed
+                    )
+                outs.append([np.asarray(x) for x in s])
+            for a, b in zip(*outs):
+                np.testing.assert_array_equal(a, b)
+    finally:
+        nb.USE_DENSE_PUSH = None

@@ -202,6 +202,84 @@ def _push_plan(
     return perm, rows, cols, s_nbrs, s_t, bump
 
 
+# Dense (sort-free) push plan: None = auto (on for TPU backends), True/False
+# = forced. Bit-equivalent to the sort-based plan (tests); on TPU the two
+# argsorts + two segment_sum scatters of the sort-based plan dominate the
+# push (~290us of a 788us TGN step at wiki shapes) while the dense O(E^2)
+# rank matrix is pure VPU work.
+USE_DENSE_PUSH: Optional[bool] = None
+
+
+def _dense_push_enabled() -> bool:
+    if USE_DENSE_PUSH is not None:
+        return USE_DENSE_PUSH
+    try:
+        return jax.devices()[0].platform not in ("cpu", "gpu")
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _push_plan_dense(
+    B: int,
+    write_pos: jnp.ndarray,
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    time: jnp.ndarray,
+    valid: Optional[jnp.ndarray],
+    directed: bool,
+    num_nodes: int,
+):
+    """Sort-free write plan, bit-equivalent to :func:`_push_plan`.
+
+    Instead of the stable (node, time) lexsort + segment counts, each event's
+    within-node recency rank is computed densely: ``r_e`` = number of events
+    of the same node strictly later in (time, position) order — an (E, E)
+    compare-and-sum, exactly the trick the Pallas window-select kernel uses
+    per buffer row. Events with ``r_e < B`` are kept; write columns follow
+    the same (write_pos + offset-from-start) % B layout as the sorted plan,
+    so the resulting buffers are identical. Payloads scatter in ORIGINAL
+    event order (no permutation is ever materialized).
+
+    Returns ``(rows, cols, nbrs, t, rows_last, wp_last)`` where ``rows_last``
+    / ``wp_last`` carry each node's post-push write position (scatter-set at
+    the node's final event; exactly one per node).
+    """
+    if valid is None:
+        valid = jnp.ones(src.shape[0], dtype=bool)
+
+    if directed:
+        nodes, nbrs, t, v = src, dst, time, valid
+    else:
+        nodes = jnp.concatenate([src, dst])
+        nbrs = jnp.concatenate([dst, src])
+        t = jnp.concatenate([time, time])
+        v = jnp.concatenate([valid, valid])
+
+    nodes = jnp.where(v, nodes, num_nodes)
+    E2 = nodes.shape[0]
+    idx = jnp.arange(E2, dtype=jnp.int32)
+
+    same = nodes[:, None] == nodes[None, :]  # (E2, E2)
+    # Stable (time, concat-position) order — matches argsort(t, stable).
+    later = (t[None, :] > t[:, None]) | (
+        (t[None, :] == t[:, None]) & (idx[None, :] > idx[:, None])
+    )
+    r = jnp.sum(same & later, axis=1)  # strictly-later same-node events
+    earlier = jnp.sum(same & ~later, axis=1) - 1  # excludes self
+    cnt = earlier + r + 1
+
+    keep = r < B
+    kept_offset = jnp.maximum(earlier - jnp.maximum(cnt - B, 0), 0)
+    write_idx = (write_pos[nodes] + kept_offset) % B
+    rows = jnp.where(keep, nodes, num_nodes)
+    cols = jnp.where(keep, write_idx, 0)
+
+    # Post-push write position, set at each node's final (rank-0) event.
+    rows_last = jnp.where(r == 0, nodes, num_nodes)
+    wp_last = write_pos[nodes] + jnp.minimum(cnt, B)
+    return rows, cols, nbrs, t, rows_last, wp_last
+
+
 def _recency_push(
     nbr_ids: jnp.ndarray,
     nbr_times: jnp.ndarray,
@@ -218,18 +296,26 @@ def _recency_push(
     """Circular-buffer push over separate id/time/payload buffers."""
     N1, B = nbr_ids.shape
     num_nodes = N1 - 1
-    perm, rows, cols, s_nbrs, s_t, bump = _push_plan(
-        B, write_pos, src, dst, time, valid, directed, num_nodes
-    )
-    f = payload if directed else jnp.concatenate([payload, payload])
-    s_f = f[perm]
+
+    if _dense_push_enabled():
+        rows, cols, s_nbrs, s_t, rows_last, wp_last = _push_plan_dense(
+            B, write_pos, src, dst, time, valid, directed, num_nodes
+        )
+        s_f = payload if directed else jnp.concatenate([payload, payload])
+        write_pos = write_pos.at[rows_last].set(wp_last, mode="drop")
+    else:
+        perm, rows, cols, s_nbrs, s_t, bump = _push_plan(
+            B, write_pos, src, dst, time, valid, directed, num_nodes
+        )
+        f = payload if directed else jnp.concatenate([payload, payload])
+        s_f = f[perm]
+        write_pos = write_pos + bump
 
     nbr_ids = nbr_ids.at[rows, cols].set(s_nbrs, mode="drop")
     nbr_times = nbr_times.at[rows, cols].set(s_t.astype(jnp.int32), mode="drop")
     payload_buf = payload_buf.at[rows, cols].set(
         s_f.astype(payload_buf.dtype), mode="drop"
     )
-    write_pos = write_pos + bump
     # Keep the dump row pristine.
     nbr_ids = nbr_ids.at[num_nodes].set(PADDED_NODE_ID)
     nbr_times = nbr_times.at[num_nodes].set(0)
