@@ -413,13 +413,15 @@ class TGNMemory(nn.Module):
             return self._staged_mean(state, nids)
         n = state.mem.shape[0] - 1
         rows = jnp.where((nids >= 0) & (nids < n), nids, n)
-        S = rows.shape[0]
 
         # TPU gathers cost ~per-row regardless of width, so the narrow scalar
         # fields are stacked into one (N, 7) int32 matrix each step (a ~260KB
-        # pass at wiki shapes) and fetched with ONE gather instead of six;
-        # the two roles' counterpart memory rows share one gather. Staging
-        # drops from 12 row gathers to 5 — bit-identical outputs.
+        # pass at wiki shapes) and fetched with ONE gather instead of six.
+        # The LastAggregator winner (src-role wins ties) is decided from this
+        # meta BEFORE any wide work, so the counterpart-memory gather, the
+        # Time2Vec encoding and the message concat all run on S rows instead
+        # of 2S — bit-identical to building both role messages and selecting
+        # (per-row where commutes with the row-wise gather/encode/concat).
         meta = jnp.stack(
             [
                 state.last_update,
@@ -431,26 +433,19 @@ class TGNMemory(nn.Module):
         last_upd = meta[:, 0]
         s_t, v_s = meta[:, 2], meta[:, 3].astype(bool)
         d_t, v_d = meta[:, 5], meta[:, 6].astype(bool)
-        others = jnp.clip(jnp.concatenate([meta[:, 1], meta[:, 4]]), 0, n)
-        mem_others = state.mem[others]  # (2S, M) one gather for both roles
-        enc = self.time_enc(
-            (jnp.concatenate([s_t, d_t]) - jnp.tile(last_upd, 2)).astype(jnp.float32)
-        )  # (2S, T) one time encoding for both roles
-
-        mem_rows = state.mem[rows]
-
-        def role_msg(mem_o, raw, t_enc):
-            return jnp.concatenate([mem_rows, mem_o, raw[rows], t_enc], axis=-1)
-
-        msg_s = role_msg(mem_others[:S], state.s_raw, enc[:S])
-        msg_d = role_msg(mem_others[S:], state.d_raw, enc[S:])
-
-        # LastAggregator over the two candidates; src-role wins ties.
         t_s_eff = jnp.where(v_s, s_t, -1)
         t_d_eff = jnp.where(v_d, d_t, -1)
         use_d = t_d_eff > t_s_eff
         any_valid = v_s | v_d
-        agg = jnp.where(use_d[:, None], msg_d, msg_s)
+
+        other_w = jnp.where(use_d, meta[:, 4], meta[:, 1])
+        t_w = jnp.where(use_d, d_t, s_t)
+        mem_rows = state.mem[rows]
+        mem_other = state.mem[jnp.clip(other_w, 0, n)]  # (S, M) winner only
+        raw_w = jnp.where(use_d[:, None], state.d_raw[rows], state.s_raw[rows])
+        enc = self.time_enc((t_w - last_upd).astype(jnp.float32))  # (S, T)
+
+        agg = jnp.concatenate([mem_rows, mem_other, raw_w, enc], axis=-1)
         agg = jnp.where(any_valid[:, None], agg, 0.0)
 
         new_mem, _ = self.gru(mem_rows, agg)
@@ -467,22 +462,23 @@ class TGNMemory(nn.Module):
         mem_rows = state.mem[rows]
         raw_rows = state.raws[rows]
         last_upd = meta[:, 0]
-        s_other, s_t, s_valid = meta[:, 1], meta[:, 2], meta[:, 3].astype(bool)
-        d_other, d_t, d_valid = meta[:, 4], meta[:, 5], meta[:, 6].astype(bool)
+        s_t, s_valid = meta[:, 2], meta[:, 3].astype(bool)
+        d_t, d_valid = meta[:, 5], meta[:, 6].astype(bool)
 
-        def role_msg(other, t, raw):
-            o = jnp.clip(other, 0, n)
-            enc = self.time_enc((t - last_upd).astype(jnp.float32))
-            return jnp.concatenate([mem_rows, state.mem[o], raw, enc], axis=-1)
-
-        msg_s = role_msg(s_other, s_t, raw_rows[:, :R])
-        msg_d = role_msg(d_other, d_t, raw_rows[:, R:])
-
+        # Winner-first (see _staged): decide the LastAggregator winner from
+        # meta, then gather/encode only that role's row — bit-identical.
         t_s_eff = jnp.where(s_valid, s_t, -1)
         t_d_eff = jnp.where(d_valid, d_t, -1)
         use_d = t_d_eff > t_s_eff
         any_valid = s_valid | d_valid
-        agg = jnp.where(use_d[:, None], msg_d, msg_s)
+
+        other_w = jnp.where(use_d, meta[:, 4], meta[:, 1])
+        t_w = jnp.where(use_d, d_t, s_t)
+        mem_other = state.mem[jnp.clip(other_w, 0, n)]
+        raw_w = jnp.where(use_d[:, None], raw_rows[:, R:], raw_rows[:, :R])
+        enc = self.time_enc((t_w - last_upd).astype(jnp.float32))
+
+        agg = jnp.concatenate([mem_rows, mem_other, raw_w, enc], axis=-1)
         agg = jnp.where(any_valid[:, None], agg, 0.0)
 
         new_mem, _ = self.gru(mem_rows, agg)
