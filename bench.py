@@ -386,6 +386,7 @@ def main() -> None:
             neg_low=int(dg.edge_dst.min()),
             neg_high=int(dg.edge_dst.max()),
             edge_x_full=stream.edge_x,
+            edge_ends_full=(dg.edge_src, dg.edge_dst),
             feat_bf16=feat_bf16,
             attn_bf16={"auto": None, "on": True, "off": False}[args.attn_bf16],
         )
@@ -407,8 +408,15 @@ def main() -> None:
             attn_bf16={"auto": None, "on": True, "off": False}[args.attn_bf16],
         )
     carry = pipe.init_carry(jax.random.PRNGKey(0))
+    # Tables-as-arguments is required for the aug-table TGAT program (657MB
+    # of stablehlo with embedded constants — over the remote-compile request
+    # limit); plain programs keep the closure form, which lets XLA pick
+    # custom constant layouts (tables-as-args measured ~1% slower on TGN).
+    use_tables = getattr(pipe, "aug_x", None) is not None
     epoch = jit_scan_epoch(pipe.train_step, stream.batch_at, stream.num_batches,
-                           unroll=args.unroll)
+                           unroll=args.unroll,
+                           tables=pipe.tables if use_tables else None,
+                           bind=pipe.bind_tables if use_tables else None)
 
     # Warmup / compile.
     carry, losses = epoch(carry)

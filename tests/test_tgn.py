@@ -214,6 +214,47 @@ def test_tgat_pipeline_eid_buffer_equivalence():
     np.testing.assert_allclose(losses["eids"], losses["feats"], rtol=1e-6, atol=1e-6)
 
 
+def test_tgat_pipeline_aug_table_equivalence():
+    """Side-augmented table mode (2*eid+side payloads; one gather serves
+    edge AND neighbor-node features) must match the plain eid pipeline
+    bit-exactly, including the PAD-wrap garbage in invalid slots."""
+    from tgm_tpu.data.dg_data import DGData
+    from tgm_tpu.core.graph import DGraph
+    from tgm_tpu.train import DeviceEdgeStream, TGATPipeline, jit_scan_epoch
+
+    rng = np.random.default_rng(11)
+    N, E, D, B, Q = 30, 220, 4, 48, 5
+    data = DGData.from_raw(
+        edge_time=np.sort(rng.integers(0, 3000, E)),
+        edge_index=rng.integers(0, N, (E, 2)),
+        edge_x=rng.normal(size=(E, D)).astype(np.float32),
+        time_delta="s",
+    )
+    dg = DGraph(data)
+    stream = DeviceEdgeStream(dg, B)
+    node_x = jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32))
+    cands = jnp.asarray(rng.integers(0, N, (B, Q)).astype(np.int32))
+
+    out = {}
+    for mode, ends in (("plain", None), ("aug", (dg.edge_src, dg.edge_dst))):
+        pipe = TGATPipeline(
+            num_nodes=N, edge_dim=D, node_x=node_x, num_nbrs=(4, 3),
+            time_dim=8, embed_dim=8, lr=1e-3, neg_low=0, neg_high=N,
+            edge_x_full=stream.edge_x, edge_ends_full=ends,
+        )
+        carry = pipe.init_carry(jax.random.PRNGKey(3))
+        epoch = jit_scan_epoch(pipe.train_step, stream.batch_at, stream.num_batches)
+        carry, l1 = epoch(carry)
+        carry, l2 = epoch(carry)
+        _, (s, c) = pipe.eval_step(carry, stream.batch_at(1), cands)
+        out[mode] = (
+            np.concatenate([np.asarray(l1), np.asarray(l2)]),
+            float(s) / max(float(c), 1.0),
+        )
+    np.testing.assert_array_equal(out["aug"][0], out["plain"][0])
+    assert out["aug"][1] == out["plain"][1]
+
+
 def test_pipeline_packed_state_equivalence():
     """Packed memory-state layout (fused gathers) must match the unpacked
     layout exactly — train losses and eval MRR."""

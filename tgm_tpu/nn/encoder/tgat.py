@@ -77,6 +77,7 @@ class TGAT(nn.Module):
         nbr_edge_x: List[jnp.ndarray],  # per hop: (S_i, K_i, edge_dim)
         nbr_edge_time: List[jnp.ndarray],  # per hop: (S_i, K_i)
         deterministic: bool = True,
+        nbr_kv_x: "List[jnp.ndarray | None] | None" = None,  # per hop: (S_i, K_i, node_dim+edge_dim)
     ) -> jnp.ndarray:
         def feats(ids: jnp.ndarray) -> jnp.ndarray:
             # Torch-style negative indexing: PADDED_NODE_ID (-1) wraps to the
@@ -87,26 +88,42 @@ class TGAT(nn.Module):
             safe = jnp.clip(jnp.where(ids < 0, ids + n, ids), 0, n - 1)
             return node_x[safe]
 
+        def kv(i):
+            return None if nbr_kv_x is None else nbr_kv_x[i]
+
         # z[j][i]: layer-j embedding of hop-i nodes.
         z: dict = {j: {} for j in range(self.num_layers + 1)}
         z[0][0] = feats(seed_nids[0])
         for i in range(1, self.num_layers + 1):
-            z[0][i] = feats(nbr_nids[i - 1].reshape(-1))
+            if i == self.num_layers and kv(i - 1) is not None:
+                # Deepest hop's node features arrive pre-concatenated with
+                # the edge features (aug table, [node ‖ edge] — the only
+                # consumer is the layer-1 attention K/V below); never gather
+                # or slice them standalone.
+                z[0][i] = None
+            else:
+                z[0][i] = feats(nbr_nids[i - 1].reshape(-1))
 
         for j in range(1, self.num_layers + 1):
             for i in range(self.num_layers - j + 1):
                 num_nodes = z[j - 1][i].shape[0]
                 num_nbr = nbr_nids[i].shape[-1]
+                fused = j == 1 and kv(i) is not None
                 out = self.attn[j - 1](
                     node_x=z[j - 1][i],
                     time_feat=self.time_encoder(jnp.zeros(num_nodes)),
-                    edge_feat=nbr_edge_x[i],
-                    nbr_node_feat=z[j - 1][i + 1].reshape(num_nodes, num_nbr, -1),
+                    edge_feat=None if fused else nbr_edge_x[i],
+                    nbr_node_feat=(
+                        None
+                        if fused
+                        else z[j - 1][i + 1].reshape(num_nodes, num_nbr, -1)
+                    ),
                     nbr_time_feat=self.time_encoder(
                         seed_times[i][:, None] - nbr_edge_time[i]
                     ),
                     valid_nbr_mask=nbr_nids[i] != PADDED_NODE_ID,
                     deterministic=deterministic,
+                    kv_node_edge_feat=kv(i) if fused else None,
                 )
                 z[j][i] = self.merge_layers[j - 1](out, z[0][i])
 

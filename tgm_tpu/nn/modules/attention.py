@@ -59,11 +59,12 @@ class TemporalAttention(nn.Module):
         self,
         node_x: jnp.ndarray,  # (B, node_dim)
         time_feat: jnp.ndarray,  # (B, time_dim)
-        edge_feat: jnp.ndarray,  # (B, K, edge_dim)
-        nbr_node_feat: jnp.ndarray,  # (B, K, node_dim)
+        edge_feat: "jnp.ndarray | None",  # (B, K, edge_dim)
+        nbr_node_feat: "jnp.ndarray | None",  # (B, K, node_dim)
         nbr_time_feat: jnp.ndarray,  # (B, K, time_dim)
         valid_nbr_mask: jnp.ndarray,  # (B, K) bool
         deterministic: bool = True,
+        kv_node_edge_feat: "jnp.ndarray | None" = None,  # (B, K, node+edge)
     ) -> jnp.ndarray:
         B, K = valid_nbr_mask.shape
         x = node_x
@@ -73,11 +74,20 @@ class TemporalAttention(nn.Module):
         R = jnp.concatenate([x, time_feat], axis=-1)  # (B, out_dim)
         Q = self.W_Q(R)
 
-        if self.kv_bf16:
-            nbr_node_feat = nbr_node_feat.astype(jnp.bfloat16)
-            edge_feat = edge_feat.astype(jnp.bfloat16)
-            nbr_time_feat = nbr_time_feat.astype(jnp.bfloat16)
-        Z = jnp.concatenate([nbr_node_feat, edge_feat, nbr_time_feat], axis=-1)
+        if kv_node_edge_feat is not None:
+            # Pre-concatenated [nbr_node_feat ‖ edge_feat] (e.g. gathered as
+            # one row from a side-augmented feature table); mathematically
+            # identical to the two-operand form below.
+            if self.kv_bf16:
+                kv_node_edge_feat = kv_node_edge_feat.astype(jnp.bfloat16)
+                nbr_time_feat = nbr_time_feat.astype(jnp.bfloat16)
+            Z = jnp.concatenate([kv_node_edge_feat, nbr_time_feat], axis=-1)
+        else:
+            if self.kv_bf16:
+                nbr_node_feat = nbr_node_feat.astype(jnp.bfloat16)
+                edge_feat = edge_feat.astype(jnp.bfloat16)
+                nbr_time_feat = nbr_time_feat.astype(jnp.bfloat16)
+            Z = jnp.concatenate([nbr_node_feat, edge_feat, nbr_time_feat], axis=-1)
         Z = self.W_KV(Z)  # (B, K, 2*out_dim)
         Kmat = Z[..., : self.out_dim]
         V = Z[..., self.out_dim :]

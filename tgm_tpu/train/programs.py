@@ -45,12 +45,27 @@ def _batch_nodes(batch, num_nodes):
     )
 
 
-def tgn_train_commit(memory, p, mem_state, batch, num_nodes):
+def tgn_train_commit(memory, p, mem_state, batch, num_nodes, staged=None):
     """Reference train-mode update_state: flush pending messages for the
     batch's nodes, then overwrite their message stores with this batch
-    (reference tgn.py:165-177 train branch)."""
+    (reference tgn.py:165-177 train branch).
+
+    ``staged`` — optional pre-computed (memory, last_update) rows for the
+    batch's src ‖ dst nodes (the rowwise forward stages exactly these as its
+    first 2B seed rows, an identical per-row function of the pre-store
+    state); committing them directly skips re-running the staging GRU."""
     nodes = _batch_nodes(batch, num_nodes)
-    mem_state = memory.apply(p["mem"], mem_state, nodes, method=TGNMemory.flush)
+    if staged is not None:
+        st_mem, st_last = jax.lax.stop_gradient(staged)
+        n = mem_state.mem.shape[0] - 1
+        rows = jnp.where((nodes >= 0) & (nodes < n), nodes, n)
+        mem = mem_state.mem.at[rows].set(
+            st_mem.astype(mem_state.mem.dtype), mode="drop"
+        ).at[n].set(0.0)
+        last = mem_state.last_update.at[rows].set(st_last, mode="drop")
+        mem_state = mem_state._replace(mem=mem, last_update=last.at[n].set(0))
+    else:
+        mem_state = memory.apply(p["mem"], mem_state, nodes, method=TGNMemory.flush)
     return tgn_store_messages(
         mem_state, batch.edge_src, batch.edge_dst, batch.edge_time,
         _raw_msg(batch), batch.edge_valid,
@@ -189,7 +204,8 @@ def _build_rowwise_cores(memory, encoder, decoder, opt, num_nodes):
     """Rowwise-style cores (see build_tgn_hook_cores)."""
     from ..hooks.dedup import candidate_rows, seed_lookup
 
-    def encode(p, mem_state, batch, training, dropout_rng=None):
+    def encode(p, mem_state, batch, training, dropout_rng=None,
+               return_staged=False):
         seeds = batch.seed_nids[0]  # (S,)
         nbrs = batch.nbr_nids[0]  # (S, K)
         S, K = nbrs.shape
@@ -199,7 +215,7 @@ def _build_rowwise_cores(memory, encoder, decoder, opt, num_nodes):
         )
         M = z_mem.shape[-1]
         rngs = None if dropout_rng is None else {"dropout": dropout_rng}
-        return encoder.apply(
+        out = encoder.apply(
             p["enc"],
             z_mem[:S],
             z_mem[S:].reshape(S, K, M),
@@ -210,6 +226,9 @@ def _build_rowwise_cores(memory, encoder, decoder, opt, num_nodes):
             deterministic=dropout_rng is None,
             rngs=rngs,
         )
+        if return_staged:
+            return out, (z_mem, last_upd)
+        return out
 
     def train_core(carry, batch):
         params, opt_state, mem_state, rng = carry
@@ -217,16 +236,23 @@ def _build_rowwise_cores(memory, encoder, decoder, opt, num_nodes):
         B = batch.edge_src.shape[0]
 
         def loss_fn(p):
-            z = encode(p, mem_state, batch, training=True, dropout_rng=dropout_rng)
+            z, (st_mem, st_last) = encode(
+                p, mem_state, batch, training=True, dropout_rng=dropout_rng,
+                return_staged=True,
+            )
             pos = decoder.apply(p["dec"], z[:B], z[B : 2 * B])
             neg = decoder.apply(p["dec"], z[:B], z[2 * B : 3 * B])
             m = batch.edge_valid
-            return bce_with_logits(pos, jnp.ones_like(pos), m) + bce_with_logits(
+            loss = bce_with_logits(pos, jnp.ones_like(pos), m) + bce_with_logits(
                 neg, jnp.zeros_like(neg), m
             )
+            # Seed layout is [src ‖ dst ‖ neg...]: rows :2B are the commit set.
+            return loss, (st_mem[: 2 * B], st_last[: 2 * B])
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        mem_state = tgn_train_commit(memory, params, mem_state, batch, num_nodes)
+        (loss, staged), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        mem_state = tgn_train_commit(
+            memory, params, mem_state, batch, num_nodes, staged=staged
+        )
         updates, opt_state = opt.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
         return (params, opt_state, mem_state, rng), loss

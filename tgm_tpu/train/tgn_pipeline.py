@@ -35,6 +35,7 @@ from ..hooks.neighbors import (
     recency_update,
 )
 from ..nn.decoder import LinkPredictor
+from .epoch import StaticTablesMixin
 from ..nn.encoder.tgn import (
     GraphAttentionEmbedding,
     GraphAttentionEmbeddingRowwise,
@@ -70,8 +71,10 @@ class TGNCarry(NamedTuple):
     rng: jnp.ndarray
 
 
-class TGNPipeline:
+class TGNPipeline(StaticTablesMixin):
     """Build once per (graph, hyperparams); step functions are pure."""
+
+    _TABLE_ATTRS = ("edge_x_full",)
 
     def __init__(
         self,
@@ -207,8 +210,17 @@ class TGNPipeline:
         return TGNCarry(params, self.opt.init(params), mem_state, rec_state, k4)
 
     # ------------------------------------------------------------------ #
-    def _forward(self, params, mem_state, rec_state, batch: DGBatch, neg, neg_time):
-        """Sample neighbors, stage memory, embed, score pos/neg."""
+    def _forward(
+        self, params, mem_state, rec_state, batch: DGBatch, neg, neg_time,
+        return_staged: bool = False,
+    ):
+        """Sample neighbors, stage memory, embed, score pos/neg.
+
+        With ``return_staged`` (rowwise path), additionally return the staged
+        (memory, last_update) rows for the first 2B seeds (src ‖ dst) — the
+        exact values the post-step memory flush would recompute for the same
+        ``mem_state`` (reference ``_update_memory`` = ``_get_updated_memory``
+        on the batch nodes), letting ``train_step`` commit them directly."""
         B = batch.edge_src.shape[0]
         K = self.num_nbrs
         n = self.num_nodes
@@ -253,6 +265,8 @@ class TGNPipeline:
             z_src, z_dst, z_neg = z[:B], z[B : 2 * B], z[2 * B : 3 * B]
             pos = self.decoder.apply(params["dec"], z_src, z_dst)
             negs = self.decoder.apply(params["dec"], z_src, z_neg)
+            if return_staged:
+                return pos, negs, (z_mem[: 2 * B], last_upd[: 2 * B])
             return pos, negs
 
         # Dedup into a fixed-width local index space.
@@ -314,24 +328,48 @@ class TGNPipeline:
         neg_time = batch.edge_time
 
         def loss_fn(p):
-            pos, negs = self._forward(p, mem_state, rec_state, batch, neg, neg_time)
+            out = self._forward(
+                p, mem_state, rec_state, batch, neg, neg_time,
+                return_staged=self.rowwise,
+            )
+            pos, negs = out[0], out[1]
             m = batch.edge_valid.astype(pos.dtype)
             denom = jnp.maximum(jnp.sum(m), 1.0)
             l_pos = jnp.sum(optax.sigmoid_binary_cross_entropy(pos, jnp.ones_like(pos)) * m) / denom
             l_neg = jnp.sum(optax.sigmoid_binary_cross_entropy(negs, jnp.zeros_like(negs)) * m) / denom
-            return l_pos + l_neg
+            return l_pos + l_neg, (out[2] if self.rowwise else None)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        (loss, staged), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
 
         # State commit (reference order: before the optimizer step).
         nodes = jnp.concatenate([batch.edge_src, batch.edge_dst])
         nodes = jnp.where(
             jnp.concatenate([batch.edge_valid, batch.edge_valid]), nodes, self.num_nodes
         )
-        mem_state = self.memory.apply(
-            params["mem"], mem_state, nodes,
-            method=TGNMemory.flush_packed if self.packed_state else TGNMemory.flush,
-        )
+        if self.rowwise:
+            # The flush for this batch's nodes equals the staged rows the
+            # forward already computed for seeds[:2B] = src ‖ dst (identical
+            # per-row function of the pre-store mem_state) — commit them
+            # directly instead of re-running the staging GRU.
+            st_mem, st_last = jax.lax.stop_gradient(staged)
+            n = mem_state.mem.shape[0] - 1
+            rows = jnp.where((nodes >= 0) & (nodes < n), nodes, n)
+            mem = mem_state.mem.at[rows].set(
+                st_mem.astype(mem_state.mem.dtype), mode="drop"
+            ).at[n].set(0.0)
+            if self.packed_state:
+                meta = mem_state.meta.at[rows, 0].set(st_last, mode="drop")
+                mem_state = mem_state._replace(mem=mem, meta=meta.at[n, 0].set(0))
+            else:
+                last = mem_state.last_update.at[rows].set(st_last, mode="drop")
+                mem_state = mem_state._replace(
+                    mem=mem, last_update=last.at[n].set(0)
+                )
+        else:
+            mem_state = self.memory.apply(
+                params["mem"], mem_state, nodes,
+                method=TGNMemory.flush_packed if self.packed_state else TGNMemory.flush,
+            )
         store = tgn_store_messages_packed if self.packed_state else tgn_store_messages
         mem_state = store(
             mem_state, batch.edge_src, batch.edge_dst, batch.edge_time,

@@ -193,6 +193,7 @@ def run_and_trace(args) -> str:
             time_dim=100, embed_dim=100, lr=1e-4,
             neg_low=int(dg.edge_dst.min()), neg_high=int(dg.edge_dst.max()),
             edge_x_full=stream.edge_x,
+            edge_ends_full=(dg.edge_src, dg.edge_dst),
         )
     else:
         pipe = TGNPipeline(
@@ -202,7 +203,10 @@ def run_and_trace(args) -> str:
             edge_x_full=stream.edge_x,
         )
     carry = pipe.init_carry(jax.random.PRNGKey(0))
-    epoch = jit_scan_epoch(pipe.train_step, stream.batch_at, stream.num_batches)
+    use_tables = getattr(pipe, "aug_x", None) is not None
+    epoch = jit_scan_epoch(pipe.train_step, stream.batch_at, stream.num_batches,
+                           tables=pipe.tables if use_tables else None,
+                           bind=pipe.bind_tables if use_tables else None)
 
     carry, losses = epoch(carry)  # compile + warm
     jax.block_until_ready(losses)
