@@ -197,6 +197,7 @@ def run_dygformer_bench(args, dg, stream, num_nodes, num_edges, edge_dim) -> Non
     )
     from tgm_tpu.nn import DyGFormer, LinkPredictor
     from tgm_tpu.train import scanned_hook_epoch
+    from tgm_tpu.train.tgat_pipeline import default_attn_bf16
 
     embed_dim = 172
     hm = HookManager(keys=["train"])
@@ -220,6 +221,9 @@ def run_dygformer_bench(args, dg, stream, num_nodes, num_edges, edge_dim) -> Non
         node_feat_dim=1, edge_x_dim=edge_dim, time_feat_dim=100,
         channel_embedding_dim=50, output_dim=embed_dim, patch_size=1,
         max_input_sequence_length=32, dropout=0.0,
+        compute_bf16={
+            "auto": default_attn_bf16(), "on": True, "off": False
+        }[args.attn_bf16],
     )
     decoder = LinkPredictor(node_dim=embed_dim, hidden_dim=embed_dim)
     opt = optax.adam(1e-4)

@@ -14,7 +14,7 @@ masks are batched equality compares on the VPU — no dynamic shapes.
 
 from __future__ import annotations
 
-from typing import Set, Tuple
+from typing import Any, Set, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -25,6 +25,7 @@ from ..modules.time_encoding import Time2Vec
 
 class NeighborCooccurrenceEncoder(nn.Module):
     feat_dim: int
+    dtype: Any = None  # bf16 compute (params stay f32) when set
 
     @nn.compact
     def __call__(
@@ -44,7 +45,10 @@ class NeighborCooccurrenceEncoder(nn.Module):
         src_freq = jnp.where((src_nbrs == PADDED_NODE_ID)[:, :, None], 0.0, src_freq)
         dst_freq = jnp.where((dst_nbrs == PADDED_NODE_ID)[:, :, None], 0.0, dst_freq)
 
-        enc = nn.Sequential([nn.Dense(self.feat_dim), nn.relu, nn.Dense(self.feat_dim)])
+        enc = nn.Sequential(
+            [nn.Dense(self.feat_dim, dtype=self.dtype), nn.relu,
+             nn.Dense(self.feat_dim, dtype=self.dtype)]
+        )
         # Encode each count scalar then sum over the (self, cross) pair axis.
         src_feat = enc(src_freq[..., None]).sum(axis=2)
         dst_feat = enc(dst_freq[..., None]).sum(axis=2)
@@ -55,21 +59,24 @@ class TransformerEncoder(nn.Module):
     attention_dim: int
     num_heads: int
     dropout: float = 0.1
+    dtype: Any = None  # bf16 compute (params stay f32) when set
 
     @nn.compact
     def __call__(self, inputs: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        # LayerNorms stay f32 (stat stability); matmuls run in ``dtype``.
         h = nn.LayerNorm(epsilon=1e-5)(inputs)
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,
             qkv_features=self.attention_dim,
             dropout_rate=self.dropout,
+            dtype=self.dtype,
         )(h, h, deterministic=deterministic)
         out = inputs + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
 
         h = nn.LayerNorm(epsilon=1e-5)(out)
-        h = nn.Dense(4 * self.attention_dim)(h)
+        h = nn.Dense(4 * self.attention_dim, dtype=self.dtype)(h)
         h = nn.Dropout(self.dropout)(nn.gelu(h, approximate=False), deterministic=deterministic)
-        h = nn.Dense(self.attention_dim)(h)
+        h = nn.Dense(self.attention_dim, dtype=self.dtype)(h)
         return out + nn.Dropout(self.dropout)(h, deterministic=deterministic)
 
 
@@ -85,6 +92,11 @@ class DyGFormer(nn.Module):
     dropout: float = 0.1
     max_input_sequence_length: int = 512
     num_channels: int = 4
+    # bf16 matmul path: channel projections, co-occurrence MLP and the
+    # transformer stack compute in bf16 with f32 params and f32 LayerNorms.
+    # The DyGFormer step is MXU-compute-bound (profiled at ~57% of the f32
+    # matmul peak on v5e at wiki shapes) and v5e bf16 peak is ~4x f32.
+    compute_bf16: bool = False
 
     requires: Set[str] = frozenset({"nbr_nids", "nbr_edge_time", "nbr_edge_x"})
 
@@ -92,17 +104,21 @@ class DyGFormer(nn.Module):
         if self.max_input_sequence_length % self.patch_size != 0:
             raise ValueError("Max sequence length must be a multiple of patch size")
         self.num_patches = self.max_input_sequence_length // self.patch_size
+        dt = jnp.bfloat16 if self.compute_bf16 else None
         self.time_encoder = Time2Vec(self.time_feat_dim)
-        self.co_occurrence_encoder = NeighborCooccurrenceEncoder(self.channel_embedding_dim)
-        self.proj_node = nn.Dense(self.channel_embedding_dim)
-        self.proj_edge = nn.Dense(self.channel_embedding_dim)
-        self.proj_time = nn.Dense(self.channel_embedding_dim)
-        self.proj_cooc = nn.Dense(self.channel_embedding_dim)
+        self.co_occurrence_encoder = NeighborCooccurrenceEncoder(
+            self.channel_embedding_dim, dtype=dt
+        )
+        self.proj_node = nn.Dense(self.channel_embedding_dim, dtype=dt)
+        self.proj_edge = nn.Dense(self.channel_embedding_dim, dtype=dt)
+        self.proj_time = nn.Dense(self.channel_embedding_dim, dtype=dt)
+        self.proj_cooc = nn.Dense(self.channel_embedding_dim, dtype=dt)
         self.transformers = [
             TransformerEncoder(
                 attention_dim=self.num_channels * self.channel_embedding_dim,
                 num_heads=self.num_heads,
                 dropout=self.dropout,
+                dtype=dt,
             )
             for _ in range(self.num_layers)
         ]
