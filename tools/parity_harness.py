@@ -715,8 +715,12 @@ def main() -> None:
         "tgat_lr0": run_parity_tgat(
             dataclasses.replace(tgat_cfg, lr=0.0), n_nbrs=(5, 5)
         ),
+        "dygformer": run_parity_dygformer(tgat_cfg),
+        "dygformer_lr0": run_parity_dygformer(
+            dataclasses.replace(tgat_cfg, lr=0.0)
+        ),
     }
-    for k in ("tgn_lr0", "tgat_lr0"):
+    for k in ("tgn_lr0", "tgat_lr0", "dygformer_lr0"):
         assert out[k]["loss_max_abs_diff"] < 1e-5, (k, out[k])
         assert out[k]["val_mrr_max_abs_diff"] < 5e-3, (k, out[k])
         assert out[k]["test_mrr_abs_diff"] < 5e-3, (k, out[k])
@@ -1096,6 +1100,432 @@ def run_parity_tgat(cfg: ParityConfig, n_nbrs=(5, 5)) -> Dict:
     out["config"] = dataclasses.asdict(cfg)
     out["model"] = "tgat"
     out["n_nbrs"] = list(n_nbrs)
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# DyGFormer end-to-end training parity
+# --------------------------------------------------------------------------- #
+# DyGFormer is stateless apart from the recency hook, and its forward is
+# row-independent (per-row co-occurrence, per-row transformer) — so the
+# reference example's per-edge eval loop and repeat_interleave negative
+# branch (/root/reference/examples/linkproppred/dygformer.py:119-244) are
+# reproduced here as batched calls with identical row-wise math.
+DYG_K = 7  # recency neighbors; sequence length = K + 1 (seed prepended)
+DYG_CH = 12  # channel embedding dim
+
+
+def run_reference_dygformer(cfg: ParityConfig, splits, negs) -> Dict:
+    import torch
+    import torch.nn.functional as F
+
+    from tools.refbridge import import_reference
+
+    import_reference()
+    from tgm import DGraph
+    from tgm.data import DGData, DGDataLoader
+    from tgm.hooks import HookManager, RecencyNeighborHook
+    from tgm.nn import DyGFormer, LinkPredictor
+
+    torch.manual_seed(cfg.seed)
+    static_x = np.random.default_rng(cfg.seed + 3).normal(
+        size=(cfg.n_nodes, 1)
+    ).astype(np.float32)
+
+    def dg_of(sp):
+        data = DGData.from_raw(
+            edge_time=torch.from_numpy(sp["t"]),
+            edge_index=torch.from_numpy(
+                np.stack([sp["src"], sp["dst"]], 1).astype(np.int64)
+            ),
+            edge_x=torch.from_numpy(sp["x"]),
+            static_node_x=torch.from_numpy(static_x),
+            time_delta="s",
+        )
+        return DGraph(data, device="cpu")
+
+    train_dg, val_dg, test_dg = (
+        dg_of(splits["train"]), dg_of(splits["val"]), dg_of(splits["test"])
+    )
+
+    class InjectTrainNeg:
+        has_state = True
+        requires = frozenset({"edge_time"})
+        produces = frozenset({"neg", "neg_time"})
+
+        def __init__(self, neg_list):
+            self.neg_list, self.i = neg_list, 0
+
+        def __call__(self, dg, batch):
+            neg = self.neg_list[self.i][: len(batch.edge_src)]
+            self.i += 1
+            batch.neg = torch.from_numpy(neg).to(torch.int64)
+            batch.neg_time = batch.edge_time.clone()
+            return batch
+
+        def reset_state(self):
+            self.i = 0
+
+    class InjectEvalNeg:
+        has_state = True
+        requires = frozenset({"edge_time"})
+        produces = frozenset({"neg", "neg_batch_list", "neg_time"})
+
+        def __init__(self, sets):
+            self.sets, self.i = sets, 0
+
+        def __call__(self, dg, batch):
+            s = self.sets[self.i]
+            self.i += 1
+            batch.neg = torch.from_numpy(s["uniq"]).to(torch.int64)
+            batch.neg_time = torch.from_numpy(s["neg_time"]).to(torch.int64)
+            batch.neg_batch_list = [
+                torch.from_numpy(r).to(torch.int64) for r in s["cands"]
+            ]
+            return batch
+
+        def reset_state(self):
+            self.i = 0
+
+    hm = HookManager(keys=["train", "val", "test"])
+    hm.register("train", InjectTrainNeg(negs["train"]))
+    hm.register("val", InjectEvalNeg(negs["val"]))
+    hm.register("test", InjectEvalNeg(negs["test"]))
+    hm.register_shared(
+        RecencyNeighborHook(
+            num_nbrs=[DYG_K],
+            num_nodes=cfg.n_nodes,
+            seed_nodes_keys=["edge_src", "edge_dst", "neg"],
+            seed_times_keys=["edge_time", "edge_time", "neg_time"],
+        )
+    )
+
+    encoder = DyGFormer(
+        node_feat_dim=1, edge_x_dim=cfg.edge_dim, time_feat_dim=cfg.time_dim,
+        channel_embedding_dim=DYG_CH, output_dim=cfg.embed_dim, patch_size=1,
+        num_layers=2, num_heads=2, dropout=0.0,
+        max_input_sequence_length=DYG_K + 1, device="cpu",
+    )
+    decoder = LinkPredictor(node_dim=cfg.embed_dim, hidden_dim=cfg.embed_dim)
+    params = list(dict.fromkeys(list(encoder.parameters()) + list(decoder.parameters())))
+    opt = torch.optim.Adam(params, lr=cfg.lr)
+
+    import copy
+
+    init_modules = {"encoder": copy.deepcopy(encoder), "decoder": copy.deepcopy(decoder)}
+    sx = torch.from_numpy(static_x)
+
+    def train_epoch(loader):
+        encoder.train(); decoder.train()
+        losses = []
+        for batch in loader:
+            opt.zero_grad()
+            si = batch.seed_node_nbr_mask["edge_src"]
+            di = batch.seed_node_nbr_mask["edge_dst"]
+            ni = batch.seed_node_nbr_mask["neg"]
+            nbr, nt, nx = batch.nbr_nids[0], batch.nbr_edge_time[0], batch.nbr_edge_x[0]
+            z_src, z_dst = encoder(
+                sx, torch.stack((batch.edge_src, batch.edge_dst)),
+                batch.edge_time,
+                nbr[torch.cat([si, di])], nt[torch.cat([si, di])],
+                nx[torch.cat([si, di])],
+            )
+            pos = decoder(z_src, z_dst)
+            z_src2, z_neg = encoder(
+                sx, torch.stack((batch.edge_src, batch.neg)),
+                batch.edge_time,
+                nbr[torch.cat([si, ni])], nt[torch.cat([si, ni])],
+                nx[torch.cat([si, ni])],
+            )
+            neg_out = decoder(z_src2, z_neg)
+            loss = F.binary_cross_entropy_with_logits(pos, torch.ones_like(pos))
+            loss = loss + F.binary_cross_entropy_with_logits(neg_out, torch.zeros_like(neg_out))
+            loss.backward()
+            opt.step()
+            losses.append(float(loss.detach()))
+        return losses
+
+    @torch.no_grad()
+    def eval_epoch(loader):
+        encoder.eval(); decoder.eval()
+        rr = []
+        for batch in loader:
+            B = len(batch.edge_src)
+            si = batch.seed_node_nbr_mask["edge_src"]
+            di = batch.seed_node_nbr_mask["edge_dst"]
+            ni = batch.seed_node_nbr_mask["neg"]
+            nbr, nt, nx = batch.nbr_nids[0], batch.nbr_edge_time[0], batch.nbr_edge_x[0]
+            z_src, z_dst = encoder(
+                sx, torch.stack((batch.edge_src, batch.edge_dst)),
+                batch.edge_time,
+                nbr[torch.cat([si, di])], nt[torch.cat([si, di])],
+                nx[torch.cat([si, di])],
+            )
+            pos = decoder(z_src, z_dst).sigmoid()
+            # Batched form of the reference example's per-edge candidate loop
+            # (row-independent forward => identical numbers).
+            cands = torch.stack(batch.neg_batch_list)  # (B, Q)
+            Q = cands.shape[1]
+            cand_flat = cands.reshape(-1)
+            # Candidate row in the unique-neg seed section (last occurrence,
+            # as the example's nonzero lookup finds in sorted unique).
+            uniq = batch.neg
+            pos_in_uniq = (uniq[None, :] == cand_flat[:, None]).float().argmax(1)
+            cand_rows = ni[pos_in_uniq]
+            src_rep = batch.edge_src.repeat_interleave(Q)
+            t_rep = batch.edge_time.repeat_interleave(Q)
+            s_rows = si.repeat_interleave(Q)
+            z_src2, z_cand = encoder(
+                sx, torch.stack((src_rep, cand_flat)), t_rep,
+                nbr[torch.cat([s_rows, cand_rows])],
+                nt[torch.cat([s_rows, cand_rows])],
+                nx[torch.cat([s_rows, cand_rows])],
+            )
+            neg_s = decoder(z_src2, z_cand).sigmoid().reshape(B, Q)
+            rr.append(reciprocal_ranks(pos.numpy(), neg_s.numpy()))
+        return float(np.mean(np.concatenate(rr)))
+
+    train_loader = DGDataLoader(train_dg, cfg.bsize, hook_manager=hm)
+    val_loader = DGDataLoader(val_dg, cfg.bsize, hook_manager=hm)
+    test_loader = DGDataLoader(test_dg, cfg.bsize, hook_manager=hm)
+
+    losses, val_mrrs, test_mrr = [], [], float("nan")
+    for epoch in range(cfg.epochs):
+        with hm.activate("train"):
+            losses.append(train_epoch(train_loader))
+        with hm.activate("val"):
+            val_mrrs.append(eval_epoch(val_loader))
+        if epoch == cfg.epochs - 1:
+            with hm.activate("test"):
+                test_mrr = eval_epoch(test_loader)
+        else:
+            hm.reset_state()
+
+    return {
+        "losses": losses, "val_mrr": val_mrrs, "test_mrr": test_mrr,
+        "modules": init_modules, "static_x": static_x,
+    }
+
+
+def run_ours_dygformer(cfg: ParityConfig, splits, negs, torch_modules, static_x) -> Dict:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import optax
+
+    from tools.refbridge import dygformer_params, link_predictor_params
+    from tgm_tpu import DGDataLoader, DGraph
+    from tgm_tpu.constants import PADDED_NODE_ID
+    from tgm_tpu.data.dg_data import DGData
+    from tgm_tpu.hooks import HookManager, RecencyNeighborHook
+    from tgm_tpu.hooks.base import StatefulHook
+    from tgm_tpu.nn import DyGFormer, LinkPredictor
+
+    def dg_of(sp):
+        data = DGData.from_raw(
+            edge_time=sp["t"],
+            edge_index=np.stack([sp["src"], sp["dst"]], 1),
+            edge_x=sp["x"],
+            static_node_x=static_x,
+            time_delta="s",
+        )
+        return DGraph(data)
+
+    train_dg, val_dg, test_dg = (
+        dg_of(splits["train"]), dg_of(splits["val"]), dg_of(splits["test"])
+    )
+
+    class InjectTrainNeg(StatefulHook):
+        _cls_requires = {"edge_time"}
+        _cls_produces = {"neg", "neg_time"}
+
+        def __init__(self, neg_list):
+            super().__init__()
+            self.neg_list = [n.astype(np.int32) for n in neg_list]
+            self.i = 0
+
+        def __call__(self, dg, batch):
+            width = batch.edge_src.shape[0]
+            neg = np.full(width, PADDED_NODE_ID, np.int32)
+            real = self.neg_list[self.i]
+            neg[: len(real)] = real
+            self.i += 1
+            neg = jnp.asarray(neg)
+            if batch.edge_valid is not None:
+                neg = jnp.where(batch.edge_valid, neg, PADDED_NODE_ID)
+            batch.neg = neg
+            batch.neg_time = batch.edge_time
+            return batch
+
+        def reset_state(self):
+            self.i = 0
+
+    class InjectEvalNeg(StatefulHook):
+        _cls_requires = {"edge_time"}
+        _cls_produces = {"neg", "neg_batch_list", "neg_time", "neg_valid"}
+
+        def __init__(self, sets, bsize, Q):
+            super().__init__()
+            self.i = 0
+            self.cap = bsize * Q
+            self.Q = Q
+            self.raw = sets
+
+        def __call__(self, dg, batch):
+            s = self.raw[self.i]
+            self.i += 1
+            width = batch.edge_src.shape[0]
+            uniq = np.full(self.cap, PADDED_NODE_ID, np.int32)
+            uniq[: len(s["uniq"])] = s["uniq"]
+            nt = np.zeros(self.cap, np.int32)
+            nt[: len(s["neg_time"])] = s["neg_time"]
+            cands = np.full((width, self.Q), PADDED_NODE_ID, np.int32)
+            cands[: len(s["cands"])] = s["cands"]
+            batch.neg = jnp.asarray(uniq)
+            batch.neg_time = jnp.asarray(nt)
+            batch.neg_batch_list = jnp.asarray(cands)
+            batch.neg_valid = batch.neg_batch_list != PADDED_NODE_ID
+            return batch
+
+        def reset_state(self):
+            self.i = 0
+
+    hm = HookManager(keys=["train", "val", "test"])
+    hm.register("train", InjectTrainNeg(negs["train"]))
+    hm.register("val", InjectEvalNeg(negs["val"], cfg.bsize, cfg.n_cands))
+    hm.register("test", InjectEvalNeg(negs["test"], cfg.bsize, cfg.n_cands))
+    hm.register_shared(
+        RecencyNeighborHook(
+            cfg.n_nodes, [DYG_K],
+            ["edge_src", "edge_dst", "neg"],
+            ["edge_time", "edge_time", "neg_time"],
+            edge_dim=cfg.edge_dim,
+        )
+    )
+
+    encoder = DyGFormer(
+        node_feat_dim=1, edge_x_dim=cfg.edge_dim, time_feat_dim=cfg.time_dim,
+        channel_embedding_dim=DYG_CH, output_dim=cfg.embed_dim, patch_size=1,
+        num_layers=2, num_heads=2, dropout=0.0,
+        max_input_sequence_length=DYG_K + 1,
+    )
+    decoder = LinkPredictor(node_dim=cfg.embed_dim, hidden_dim=cfg.embed_dim)
+    params = {
+        "enc": jax.tree_util.tree_map(
+            jnp.asarray, dygformer_params(torch_modules["encoder"], num_heads=2)
+        ),
+        "dec": jax.tree_util.tree_map(
+            jnp.asarray, link_predictor_params(torch_modules["decoder"])
+        ),
+    }
+    opt = optax.adam(cfg.lr)
+    opt_state = opt.init(params)
+    sx = jnp.asarray(static_x)
+
+    @jax.jit
+    def train_step(carry, batch):
+        params, opt_state = carry
+        W = batch.edge_src.shape[0]
+        nbr, nt, nx = batch.nbr_nids[0], batch.nbr_edge_time[0], batch.nbr_edge_x[0]
+
+        def loss_fn(p):
+            z_src, z_dst = encoder.apply(
+                p["enc"], sx, batch.edge_src, batch.edge_dst, batch.edge_time,
+                nbr[: 2 * W], nt[: 2 * W], nx[: 2 * W],
+            )
+            pos = decoder.apply(p["dec"], z_src, z_dst)
+            z_src2, z_neg = encoder.apply(
+                p["enc"], sx, batch.edge_src, batch.neg, batch.edge_time,
+                jnp.concatenate([nbr[:W], nbr[2 * W :]]),
+                jnp.concatenate([nt[:W], nt[2 * W :]]),
+                jnp.concatenate([nx[:W], nx[2 * W :]]),
+            )
+            neg_out = decoder.apply(p["dec"], z_src2, z_neg)
+            m = batch.edge_valid.astype(pos.dtype)
+            d = jnp.maximum(m.sum(), 1.0)
+            return (
+                jnp.sum(optax.sigmoid_binary_cross_entropy(pos, jnp.ones_like(pos)) * m)
+                + jnp.sum(optax.sigmoid_binary_cross_entropy(neg_out, jnp.zeros_like(neg_out)) * m)
+            ) / d
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    @jax.jit
+    def eval_scores(params, batch):
+        W = batch.edge_src.shape[0]
+        Q = batch.neg_batch_list.shape[1]
+        nbr, nt, nx = batch.nbr_nids[0], batch.nbr_edge_time[0], batch.nbr_edge_x[0]
+        z_src, z_dst = encoder.apply(
+            params["enc"], sx, batch.edge_src, batch.edge_dst, batch.edge_time,
+            nbr[: 2 * W], nt[: 2 * W], nx[: 2 * W],
+        )
+        pos = jax.nn.sigmoid(decoder.apply(params["dec"], z_src, z_dst))
+        cands = batch.neg_batch_list  # (W, Q)
+        cand_flat = cands.reshape(-1)
+        uniq = batch.neg  # (cap,) sorted unique, PAD-padded
+        pos_in_uniq = jnp.argmax(
+            (uniq[None, :] == cand_flat[:, None]).astype(jnp.int32), axis=1
+        )
+        cand_rows = 2 * W + pos_in_uniq
+        src_rep = jnp.repeat(batch.edge_src, Q)
+        t_rep = jnp.repeat(batch.edge_time, Q)
+        s_rows = jnp.repeat(jnp.arange(W), Q)
+        rows = jnp.concatenate([s_rows, cand_rows])
+        z_src2, z_cand = encoder.apply(
+            params["enc"], sx, src_rep, cand_flat, t_rep,
+            nbr[rows], nt[rows], nx[rows],
+        )
+        neg_s = jax.nn.sigmoid(
+            decoder.apply(params["dec"], z_src2, z_cand)
+        ).reshape(W, Q)
+        return pos, neg_s
+
+    def train_epoch():
+        nonlocal params, opt_state
+        losses = []
+        loader = DGDataLoader(train_dg, cfg.bsize, hook_manager=hm)
+        with hm.activate("train"):
+            for batch in loader:
+                (params, opt_state), loss = train_step((params, opt_state), batch)
+                losses.append(float(loss))
+        return losses
+
+    def eval_epoch(dg, key, sets):
+        rr = []
+        loader = DGDataLoader(dg, cfg.bsize, hook_manager=hm)
+        with hm.activate(key):
+            for bi, batch in enumerate(loader):
+                pos, neg = eval_scores(params, batch)
+                n_real = len(sets[bi]["cands"])
+                rr.append(reciprocal_ranks(
+                    np.asarray(pos)[:n_real], np.asarray(neg)[:n_real]
+                ))
+        return float(np.mean(np.concatenate(rr)))
+
+    losses, val_mrrs, test_mrr = [], [], float("nan")
+    for epoch in range(cfg.epochs):
+        losses.append(train_epoch())
+        val_mrrs.append(eval_epoch(val_dg, "val", negs["val"]))
+        if epoch == cfg.epochs - 1:
+            test_mrr = eval_epoch(test_dg, "test", negs["test"])
+        else:
+            hm.reset_state()
+    return {"losses": losses, "val_mrr": val_mrrs, "test_mrr": test_mrr}
+
+
+def run_parity_dygformer(cfg: ParityConfig) -> Dict:
+    splits = make_splits(cfg)
+    negs = precompute_negatives(cfg, splits)
+    ref = run_reference_dygformer(cfg, splits, negs)
+    ours = run_ours_dygformer(cfg, splits, negs, ref["modules"], ref["static_x"])
+    out = compare(ref, ours)
+    out["config"] = dataclasses.asdict(cfg)
+    out["model"] = "dygformer"
+    out["num_nbrs"] = DYG_K
     return out
 
 
