@@ -140,3 +140,38 @@ def test_index_slice_bounds(storage):
     np.testing.assert_array_equal(t, [1, 2, 2])
     nids, t = storage.get_node_events(first_four)
     np.testing.assert_array_equal(nids, [1])
+
+
+# ------------------------------------------------------------------ #
+# Type accessors (reference: test_get_edge_type / test_get_node_type)
+# ------------------------------------------------------------------ #
+def test_get_edge_type_full_and_sliced(storage):
+    np.testing.assert_array_equal(storage.get_edge_type(FULL), [0, 1, 0, 1, 0])
+    # Time-windowed slice keeps the aligned subset.
+    win = DGSliceTracker(start_time=2, end_time=5)
+    np.testing.assert_array_equal(storage.get_edge_type(win), [1, 0, 1])
+
+
+def test_get_node_type(storage):
+    np.testing.assert_array_equal(storage.get_node_type(), [0, 0, 1, 1])
+
+
+def test_type_accessors_absent():
+    data = DGData.from_raw(
+        edge_time=np.array([1, 2]),
+        edge_index=np.array([[0, 1], [1, 2]]),
+        time_delta="s",
+    )
+    s = DGStorage(data)
+    assert s.get_edge_type(FULL) is None
+    assert s.get_node_type() is None
+
+
+def test_edge_type_validation_length():
+    with pytest.raises(ValueError):
+        DGData.from_raw(
+            edge_time=np.array([1, 2]),
+            edge_index=np.array([[0, 1], [1, 2]]),
+            edge_type=np.array([0]),  # wrong length
+            time_delta="s",
+        )
