@@ -123,6 +123,7 @@ def run_hook_bench(args, dg, stream, num_nodes, num_edges, edge_dim,
             num_nodes, [10], ["edge_src", "edge_dst", "neg"],
             ["edge_time", "edge_time", "neg_time"], edge_dim=edge_dim,
             edge_x_full=dg._storage._data.edge_x,
+            packed_buffers=args.packed_recency,
         )
     )
 

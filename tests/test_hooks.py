@@ -380,3 +380,69 @@ def test_dense_push_plan_bit_matches_sort_plan():
                 np.testing.assert_array_equal(a, b)
     finally:
         nb.USE_DENSE_PUSH = None
+
+
+def test_packed_recency_matches_eid_layout_both_plans():
+    """The packed (N, K, 3) buffer must hold identical (nbr, time, eid)
+    triples to the separate-buffer eid layout under BOTH push plans, and
+    pk queries must return identical windows."""
+    import tgm_tpu.hooks.neighbors as nb
+
+    rng = np.random.default_rng(13)
+    try:
+        for flag in (False, True):
+            nb.USE_DENSE_PUSH = flag
+            N, B, E = 25, 5, 40
+            src = jnp.asarray(rng.integers(0, N, E), jnp.int32)
+            dst = jnp.asarray(rng.integers(0, N, E), jnp.int32)
+            t = jnp.asarray(np.sort(rng.integers(0, 15, E)), jnp.int32)
+            eids = jnp.asarray(rng.integers(0, 500, E), jnp.int32)
+            valid = jnp.asarray(rng.random(E) > 0.2)
+
+            se = nb.recency_eid_init(N, B)
+            sp = nb.recency_pk_init(N, B)
+            for rep in range(3):
+                se = nb.recency_eid_update(se, src, dst, t + rep * 3, eids, valid, False)
+                sp = nb.recency_pk_update(sp, src, dst, t + rep * 3, eids, valid, False)
+            buf, wp = sp
+            np.testing.assert_array_equal(np.asarray(buf[:, :, 0]), np.asarray(se[0]))
+            np.testing.assert_array_equal(np.asarray(buf[:, :, 1]), np.asarray(se[1]))
+            np.testing.assert_array_equal(np.asarray(buf[:, :, 2]), np.asarray(se[2]))
+            np.testing.assert_array_equal(np.asarray(wp % B), np.asarray(se[3] % B))
+
+            seeds = jnp.asarray(rng.integers(0, N, 16), jnp.int32)
+            qt = jnp.asarray(rng.integers(0, 60, 16), jnp.int32)
+            for k in (1, 3, 5):
+                out_e = nb.recency_eid_query(se, seeds, qt, k)
+                out_p = nb.recency_pk_query(sp, seeds, qt, k)
+                for a, b in zip(out_e, out_p):
+                    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    finally:
+        nb.USE_DENSE_PUSH = None
+
+
+def test_recency_hook_packed_buffers_stream_equivalence(dg):
+    """RecencyNeighborHook(packed_buffers=True) must emit identical batches
+    to the separate-buffer eid hook over a streamed epoch."""
+    edge_x_full = dg._storage._data.edge_x
+    hooks = [
+        RecencyNeighborHook(4, [3], ["edge_src", "edge_dst"],
+                            ["edge_time", "edge_time"],
+                            edge_x_full=edge_x_full, packed_buffers=p)
+        for p in (False, True)
+    ]
+    loader = DGDataLoader(dg, batch_size=2)
+    for b in loader:
+        outs = []
+        for h in hooks:
+            bb = h(dg, b)
+            outs.append((np.asarray(bb.nbr_nids[0]), np.asarray(bb.nbr_edge_time[0]),
+                         np.asarray(bb.nbr_edge_x[0])))
+        for a, c in zip(*outs):
+            np.testing.assert_array_equal(a, c)
+
+
+def test_recency_hook_packed_requires_eid_mode():
+    with pytest.raises(ValueError):
+        RecencyNeighborHook(4, [3], ["edge_src"], ["edge_time"],
+                            packed_buffers=True)

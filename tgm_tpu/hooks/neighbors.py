@@ -520,15 +520,25 @@ def recency_pk_update(
     buf, write_pos = state
     N1, B, _ = buf.shape
     num_nodes = N1 - 1
-    perm, rows, cols, s_nbrs, s_t, bump = _push_plan(
-        B, write_pos, src, dst, time, valid, directed, num_nodes
-    )
-    e = eids if directed else jnp.concatenate([eids, eids])
-    vals = jnp.stack(
-        [s_nbrs, s_t.astype(jnp.int32), e[perm].astype(jnp.int32)], axis=1
-    )  # (E2, 3)
+    if _dense_push_enabled():
+        rows, cols, s_nbrs, s_t, rows_last, wp_last = _push_plan_dense(
+            B, write_pos, src, dst, time, valid, directed, num_nodes
+        )
+        e = eids if directed else jnp.concatenate([eids, eids])
+        vals = jnp.stack(
+            [s_nbrs, s_t.astype(jnp.int32), e.astype(jnp.int32)], axis=1
+        )  # (E2, 3) in original event order (dense plan never permutes)
+        write_pos = write_pos.at[rows_last].set(wp_last, mode="drop")
+    else:
+        perm, rows, cols, s_nbrs, s_t, bump = _push_plan(
+            B, write_pos, src, dst, time, valid, directed, num_nodes
+        )
+        e = eids if directed else jnp.concatenate([eids, eids])
+        vals = jnp.stack(
+            [s_nbrs, s_t.astype(jnp.int32), e[perm].astype(jnp.int32)], axis=1
+        )  # (E2, 3)
+        write_pos = write_pos + bump
     buf = buf.at[rows, cols].set(vals, mode="drop")
-    write_pos = write_pos + bump
     buf = buf.at[num_nodes].set(jnp.asarray(_PK_DUMP_FILL, jnp.int32))
     write_pos = write_pos.at[num_nodes].set(0)
     return buf, write_pos
@@ -627,6 +637,7 @@ class RecencyNeighborHook(_NeighborHookBase):
         directed: bool = False,
         edge_dim: Optional[int] = None,
         edge_x_full: Optional[Any] = None,
+        packed_buffers: bool = False,
         id: Optional[str] = None,
     ) -> None:
         super().__init__(num_nbrs, seed_nodes_keys, seed_times_keys, directed, id)
@@ -634,9 +645,18 @@ class RecencyNeighborHook(_NeighborHookBase):
         self._max_nbrs = max(self._num_nbrs)
         self._edge_dim = edge_dim
         self._edge_x_full = None if edge_x_full is None else jnp.asarray(edge_x_full)
+        # Packed (N, K, 3) [nbr, time, eid] state (eid mode only): one buffer
+        # gather per query hop and one scatter per push instead of three of
+        # each. Identical buffers (tests); throughput is layout-dependent —
+        # measure on the target shapes before enabling.
+        self._packed = bool(packed_buffers)
+        if self._packed and self._edge_x_full is None:
+            raise ValueError("packed_buffers requires edge_x_full (eid mode)")
 
     def init_state(self, dg: Optional[DGraph] = None) -> Any:
         if self._edge_x_full is not None:
+            if self._packed:
+                return recency_pk_init(self._num_nodes, self._max_nbrs)
             return recency_eid_init(self._num_nodes, self._max_nbrs)
         if self._edge_dim is None:
             self._edge_dim = (dg.edge_x_dim if dg is not None else 0) or 0
@@ -663,7 +683,8 @@ class RecencyNeighborHook(_NeighborHookBase):
                 hop_seeds.append(seeds)
                 hop_times.append(times)
             if eid_mode:
-                nbrs, nts, nes = recency_eid_query(state, seeds, times, k)
+                q = recency_pk_query if self._packed else recency_eid_query
+                nbrs, nts, nes = q(state, seeds, times, k)
                 nxs = gather_edge_feats(self._edge_x_full, nes)
             else:
                 nbrs, nts, nxs = recency_query(state, seeds, times, k)
@@ -672,7 +693,8 @@ class RecencyNeighborHook(_NeighborHookBase):
             hop_nbr_x.append(nxs)
 
         if eid_mode:
-            state = recency_eid_update(
+            u = recency_pk_update if self._packed else recency_eid_update
+            state = u(
                 state,
                 batch.edge_src,
                 batch.edge_dst,

@@ -184,6 +184,65 @@ def run_and_trace(args) -> str:
             jax.block_until_ready(losses)
         return args.trace_dir
 
+    if args.model == "tgn-hooks":
+        # The bench's default program: hook DAG + rowwise cores, scanned.
+        import time
+
+        import jax.numpy as jnp
+        import optax
+
+        from tgm_tpu.hooks import (
+            HookManager,
+            RandomNegativeEdgeSamplerHook,
+            RecencyNeighborHook,
+        )
+        from tgm_tpu.nn import LinkPredictor
+        from tgm_tpu.nn.encoder.tgn import GraphAttentionEmbeddingRowwise, TGNMemory
+        from tgm_tpu.train import scanned_hook_epoch
+        from tgm_tpu.train.programs import build_tgn_hook_cores
+
+        dims = 100
+        hm = HookManager(keys=["train"])
+        hm.register("train", RandomNegativeEdgeSamplerHook(
+            low=int(dg.edge_dst.min()), high=int(dg.edge_dst.max())))
+        hm.register_shared(RecencyNeighborHook(
+            nn_, [10], ["edge_src", "edge_dst", "neg"],
+            ["edge_time", "edge_time", "neg_time"], edge_dim=ed,
+            edge_x_full=dg._storage._data.edge_x))
+        memory = TGNMemory(num_nodes=nn_, raw_msg_dim=ed, memory_dim=dims,
+                           time_dim=dims)
+        encoder = GraphAttentionEmbeddingRowwise(
+            in_channels=dims, out_channels=dims, msg_dim=ed, time_dim=dims,
+            dropout=0.0)
+        decoder = LinkPredictor(node_dim=dims, hidden_dim=dims)
+        opt = optax.adam(1e-4)
+        key = jax.random.PRNGKey(0)
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        mem_state = memory.init_state()
+        params = {
+            "mem": memory.init(k1, mem_state, jnp.zeros(8, jnp.int32)),
+            "enc": encoder.init(
+                k2, jnp.zeros((4, dims)), jnp.zeros((4, 3, dims)),
+                jnp.zeros(4, jnp.int32), jnp.zeros((4, 3), jnp.int32),
+                jnp.zeros((4, 3, ed)), jnp.ones((4, 3), bool)),
+            "dec": decoder.init(k3, jnp.zeros((1, dims)), jnp.zeros((1, dims))),
+        }
+        train_core, _ = build_tgn_hook_cores(
+            memory, encoder, decoder, opt, nn_, style="rowwise")
+        epoch, hstates = scanned_hook_epoch(stream, hm, "train", dg, train_core)
+        carry = (params, opt.init(params), mem_state, key)
+        carry, hstates, losses = epoch(carry, hstates)
+        jax.block_until_ready(losses)
+        t0 = time.perf_counter()
+        carry, hstates, losses = epoch(carry, hstates)
+        jax.block_until_ready(losses)
+        dt = time.perf_counter() - t0
+        print(f"epoch (untraced): {dt*1e3:.1f} ms -> {ne/dt:.0f} edges/s")
+        with jax.profiler.trace(args.trace_dir):
+            carry, hstates, losses = epoch(carry, hstates)
+            jax.block_until_ready(losses)
+        return args.trace_dir
+
     if args.model == "tgat":
         import jax.numpy as jnp
 
@@ -231,7 +290,7 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--bsize", type=int, default=200)
-    p.add_argument("--model", type=str, default="tgn", choices=["tgn", "tgat", "dygformer"])
+    p.add_argument("--model", type=str, default="tgn", choices=["tgn", "tgn-hooks", "tgat", "dygformer"])
     p.add_argument("--trace-dir", type=str, default="/tmp/tgm_trace")
     p.add_argument("--parse-only", action="store_true",
                    help="only parse an existing trace dir")
