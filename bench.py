@@ -210,7 +210,7 @@ def run_dygformer_bench(args, dg, stream, num_nodes, num_edges, edge_dim) -> Non
     )
     from tgm_tpu.nn import DyGFormer, LinkPredictor
     from tgm_tpu.train import scanned_hook_epoch
-    from tgm_tpu.train.tgat_pipeline import default_attn_bf16
+    from tgm_tpu.util.precision import resolve_bf16
 
     embed_dim = 172
     hm = HookManager(keys=["train"])
@@ -234,9 +234,7 @@ def run_dygformer_bench(args, dg, stream, num_nodes, num_edges, edge_dim) -> Non
         node_feat_dim=1, edge_x_dim=edge_dim, time_feat_dim=100,
         channel_embedding_dim=50, output_dim=embed_dim, patch_size=1,
         max_input_sequence_length=32, dropout=0.0,
-        compute_bf16={
-            "auto": default_attn_bf16(), "on": True, "off": False
-        }[args.attn_bf16],
+        compute_bf16=resolve_bf16(args.attn_bf16),
     )
     decoder = LinkPredictor(node_dim=embed_dim, hidden_dim=embed_dim)
     opt = optax.adam(1e-4)
@@ -378,7 +376,13 @@ def main() -> None:
     stream = DeviceEdgeStream(dg, args.bsize)
     feat_bf16 = {"auto": None, "on": True, "off": False}[args.feat_bf16]
 
-    if args.model == "tgn-hooks" or (args.model == "tgn" and not args.with_eval):
+    # Flags that only configure the fused TGNPipeline; when given, the
+    # default model routes to the fused program so they take effect.
+    fused_only_flags = (
+        args.with_eval or args.dedup_staging or args.unroll != 1
+        or args.feat_bf16 != "auto"
+    )
+    if args.model == "tgn-hooks" or (args.model == "tgn" and not fused_only_flags):
         run_hook_bench(args, dg, stream, num_nodes, num_edges, edge_dim,
                        canonical=args.model == "tgn")
         return
@@ -453,7 +457,11 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
 
     edges_per_sec = num_edges / min(times)
-    name = "tgn" if args.model in ("tgn", "tgn-fused") else args.model
+    # Explicit --model tgn-fused publishes under its own metric name so
+    # metric-name-keyed tracking never mixes the two TGN programs; the
+    # default model's fused fallback (--with-eval etc.) keeps the canonical
+    # name with execution=fused_pipeline recording what ran.
+    name = "tgn_fused" if args.model == "tgn-fused" else args.model
     out = {
         "metric": f"{name}_train_edges_per_sec_tgbl_wiki_shape",
         "value": round(edges_per_sec, 1),
@@ -467,7 +475,7 @@ def main() -> None:
         out["vs_reference_cpu_measured"] = round(edges_per_sec / cpu_base, 3)
         out["reference_cpu_edges_per_sec"] = round(cpu_base, 1)
 
-    if args.with_eval and args.model == "tgn":
+    if args.with_eval and args.model in ("tgn", "tgn-fused"):
         # Scanned eval epoch: every edge scored against Q=20 synthetic
         # candidates via TGNPipeline.eval_step (TGB-style masked-rank MRR).
         import jax.numpy as jnp

@@ -24,7 +24,7 @@ from examples._datasets import load_dataset
 from tgm_tpu import DGDataLoader, DGraph
 from tgm_tpu.constants import PADDED_NODE_ID
 from tgm_tpu.eval.metrics import mrr_sum_count
-from tgm_tpu.train.tgat_pipeline import default_attn_bf16
+from tgm_tpu.util.precision import resolve_bf16
 from tgm_tpu.hooks import (
     candidate_rows,
     seed_lookup,
@@ -99,7 +99,7 @@ def main():
         node_feat_dim=node_x.shape[1], edge_x_dim=edge_dim, time_feat_dim=args.time_dim,
         channel_embedding_dim=args.channel_dim, output_dim=args.embed_dim,
         patch_size=args.patch_size, max_input_sequence_length=args.max_seq_len,
-        dropout=args.dropout, compute_bf16={"auto": default_attn_bf16(), "on": True, "off": False}[args.compute_bf16],
+        dropout=args.dropout, compute_bf16=resolve_bf16(args.compute_bf16),
     )
     decoder = LinkPredictor(node_dim=args.embed_dim, hidden_dim=args.embed_dim)
     opt = optax.adam(args.lr)

@@ -26,7 +26,7 @@ from tgm_tpu.eval.metrics import ndcg_at_k
 from tgm_tpu.hooks import EdgeEventsSeenNodesTrackHook, HookManager, RecencyNeighborHook
 from tgm_tpu.nn import DyGFormer, NodePredictor
 from tgm_tpu.util import seed_everything
-from tgm_tpu.train.tgat_pipeline import default_attn_bf16
+from tgm_tpu.util.precision import resolve_bf16
 
 
 def main():
@@ -74,7 +74,7 @@ def main():
         node_feat_dim=node_x.shape[1], edge_x_dim=edge_dim, time_feat_dim=args.time_dim,
         channel_embedding_dim=args.channel_dim, output_dim=args.embed_dim,
         max_input_sequence_length=args.max_seq_len, dropout=args.dropout, num_layers=1,
-        compute_bf16={"auto": default_attn_bf16(), "on": True, "off": False}[args.compute_bf16],
+        compute_bf16=resolve_bf16(args.compute_bf16),
     )
     decoder = NodePredictor(in_dim=args.embed_dim, out_dim=num_classes)
     opt = optax.adam(args.lr)

@@ -574,6 +574,28 @@ class TGNMemory(nn.Module):
         return tgn_store_messages(state, src, dst, t, raw_msg, valid)
 
 
+def tgn_commit_staged(state, nodes, st_mem, st_last):
+    """Write pre-computed staged (memory, last_update) rows into stored state.
+
+    Flush-equivalent commit for callers that already ran the staging GRU on
+    ``nodes`` in their forward (the staged value is a per-row function of the
+    pre-store state, so re-using it is bit-identical to ``flush``). Handles
+    both the unpacked and packed layouts; invalid/padded ids must already be
+    mapped to a dead row by the caller (flush convention)."""
+    st_mem = jax.lax.stop_gradient(st_mem)
+    st_last = jax.lax.stop_gradient(st_last)
+    n = state.mem.shape[0] - 1
+    rows = jnp.where((nodes >= 0) & (nodes < n), nodes, n)
+    mem = state.mem.at[rows].set(
+        st_mem.astype(state.mem.dtype), mode="drop"
+    ).at[n].set(0.0)
+    if isinstance(state, TGNPackedState):
+        meta = state.meta.at[rows, 0].set(st_last, mode="drop").at[n, 0].set(0)
+        return state._replace(mem=mem, meta=meta)
+    last = state.last_update.at[rows].set(st_last, mode="drop").at[n].set(0)
+    return state._replace(mem=mem, last_update=last)
+
+
 class GraphAttentionEmbedding(nn.Module):
     """TransformerConv over the batch subgraph with relative-time edge features.
 

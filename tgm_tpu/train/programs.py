@@ -23,7 +23,7 @@ import optax
 from ..constants import PADDED_NODE_ID
 from ..eval.metrics import mrr_sum_count
 from ..hooks import map_to_local
-from ..nn.encoder.tgn import TGNMemory, tgn_store_messages
+from ..nn.encoder.tgn import TGNMemory, tgn_commit_staged, tgn_store_messages
 
 
 def bce_with_logits(logits, target, mask):
@@ -56,14 +56,7 @@ def tgn_train_commit(memory, p, mem_state, batch, num_nodes, staged=None):
     state); committing them directly skips re-running the staging GRU."""
     nodes = _batch_nodes(batch, num_nodes)
     if staged is not None:
-        st_mem, st_last = jax.lax.stop_gradient(staged)
-        n = mem_state.mem.shape[0] - 1
-        rows = jnp.where((nodes >= 0) & (nodes < n), nodes, n)
-        mem = mem_state.mem.at[rows].set(
-            st_mem.astype(mem_state.mem.dtype), mode="drop"
-        ).at[n].set(0.0)
-        last = mem_state.last_update.at[rows].set(st_last, mode="drop")
-        mem_state = mem_state._replace(mem=mem, last_update=last.at[n].set(0))
+        mem_state = tgn_commit_staged(mem_state, nodes, *staged)
     else:
         mem_state = memory.apply(p["mem"], mem_state, nodes, method=TGNMemory.flush)
     return tgn_store_messages(

@@ -28,24 +28,14 @@ from ..hooks.neighbors import (
 from ..nn.decoder import LinkPredictor
 from ..nn.encoder.tgat import TGAT
 from .epoch import StaticTablesMixin
+from ..util.precision import tpu_default_bf16
 
 
 def default_attn_bf16() -> bool:
-    """Auto policy for the bf16 K/V attention path: ON for TPU backends.
-
-    On TPU the MXU already rounds f32 matmul operands to bf16 with f32
-    accumulation, so the explicit-bf16 K/V path changes numerics only in the
-    (rounded-anyway) projection output; what it buys is an all-bf16 gather →
-    concat → dot pipeline with no per-step f32→bf16 sweep of the edge table
-    and a halved hop-2 relayout copy. Measured on v5e at wiki shapes: TGAT
-    77.3k → 91.7k edges/s (+19%). CPU/GPU stay f32 (true-f32 matmuls there;
-    tests/parity compare against f32 torch)."""
-    try:
-        import jax
-
-        return jax.devices()[0].platform not in ("cpu", "gpu")
-    except Exception:  # pragma: no cover
-        return False
+    """Auto policy for the bf16 K/V attention path: ON for TPU backends
+    (see tgm_tpu.util.precision; measured +19% TGAT on v5e at wiki shapes,
+    numerics equivalent to the MXU's default f32-operand rounding)."""
+    return tpu_default_bf16()
 
 
 class TGATCarry(NamedTuple):

@@ -40,6 +40,7 @@ from ..nn.encoder.tgn import (
     GraphAttentionEmbedding,
     GraphAttentionEmbeddingRowwise,
     TGNMemory,
+    tgn_commit_staged,
     tgn_init_state,
     tgn_pack_state,
     tgn_store_messages,
@@ -351,20 +352,7 @@ class TGNPipeline(StaticTablesMixin):
             # forward already computed for seeds[:2B] = src ‖ dst (identical
             # per-row function of the pre-store mem_state) — commit them
             # directly instead of re-running the staging GRU.
-            st_mem, st_last = jax.lax.stop_gradient(staged)
-            n = mem_state.mem.shape[0] - 1
-            rows = jnp.where((nodes >= 0) & (nodes < n), nodes, n)
-            mem = mem_state.mem.at[rows].set(
-                st_mem.astype(mem_state.mem.dtype), mode="drop"
-            ).at[n].set(0.0)
-            if self.packed_state:
-                meta = mem_state.meta.at[rows, 0].set(st_last, mode="drop")
-                mem_state = mem_state._replace(mem=mem, meta=meta.at[n, 0].set(0))
-            else:
-                last = mem_state.last_update.at[rows].set(st_last, mode="drop")
-                mem_state = mem_state._replace(
-                    mem=mem, last_update=last.at[n].set(0)
-                )
+            mem_state = tgn_commit_staged(mem_state, nodes, *staged)
         else:
             mem_state = self.memory.apply(
                 params["mem"], mem_state, nodes,

@@ -100,7 +100,7 @@ def run_and_trace(args) -> str:
         )
         from tgm_tpu.nn import DyGFormer, LinkPredictor
         from tgm_tpu.train import scanned_hook_epoch
-        from tgm_tpu.train.tgat_pipeline import default_attn_bf16
+        from tgm_tpu.util.precision import tpu_default_bf16
 
         embed_dim = 172
         hm = HookManager(keys=["train"])
@@ -116,7 +116,7 @@ def run_and_trace(args) -> str:
             node_feat_dim=1, edge_x_dim=ed, time_feat_dim=100,
             channel_embedding_dim=50, output_dim=embed_dim, patch_size=1,
             max_input_sequence_length=32, dropout=0.0,
-            compute_bf16=default_attn_bf16())
+            compute_bf16=tpu_default_bf16())
         decoder = LinkPredictor(node_dim=embed_dim, hidden_dim=embed_dim)
         opt = optax.adam(1e-4)
 
