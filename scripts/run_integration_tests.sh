@@ -17,5 +17,10 @@ run examples/linkproppred/gclstm.py --dataset synthetic-300-4000 --bsize 200 --e
 run examples/linkproppred/dygformer.py --dataset synthetic-300-4000 --bsize 200 --n-nbrs 5 --max-seq-len 8 --channel-dim 8 --embed-dim 32 --time-dim 8 --epochs 1
 run examples/nodeproppred/tgn.py --dataset synthetic-300-4000 --bsize 100 --embed-dim 32 --memory-dim 32 --time-dim 16 --epochs 1
 run examples/graphproppred/gcn.py --dataset synthetic-300-4000 --epochs 2
+run examples/linkproppred/tpnet.py --dataset synthetic-300-4000 --bsize 200 --epochs 1
+run examples/linkproppred/ctan.py --dataset synthetic-300-4000 --bsize 200 --epochs 1
+run examples/linkproppred/tncn.py --dataset synthetic-300-4000 --bsize 200 --epochs 1
+run examples/linkproppred/poptrack.py --dataset synthetic-300-4000 --bsize 200
+run examples/analytics/batch_analytics_example.py --dataset synthetic-300-4000 --bsize 200
 run __graft_entry__.py
 echo "integration suite OK"

@@ -62,7 +62,13 @@ class DeduplicationHook(SeedableHook, StatelessHook):
         keyed = jnp.where(
             (all_nids >= 0) & (all_nids < self._num_nodes), all_nids, _SENTINEL
         )
-        U = all_nids.shape[0]
+        # Static capacity: the id count feeding the union, but never more
+        # than num_nodes+1 — there are at most num_nodes distinct valid ids
+        # (+1 slot so the sentinel can't evict one when all are present).
+        # Without the cap, candidate-heavy eval batches produce huge padded
+        # local spaces (a (B+B+B*Q+nbrs)-sized U made TNCN's dense local
+        # adjacency U*U blow past int32 indexing).
+        U = min(all_nids.shape[0], self._num_nodes + 1)
         uniq = jnp.unique(keyed, size=U, fill_value=_SENTINEL)
         valid = uniq != _SENTINEL
         num_unique = jnp.sum(valid.astype(jnp.int32))
