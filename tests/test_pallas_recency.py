@@ -143,3 +143,59 @@ def test_ragged_block_padding():
     )
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-6)
+
+
+def test_scatter_cells_matches_xla_scatter():
+    """The in-place Pallas cell scatter (interpret mode) must match
+    buf.at[rows, cols].set(vals) + dump-row reset for unique live targets."""
+    from tgm_tpu.ops.pallas.scatter_cells import scatter_cells
+
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        N1, B, E = 30, 6, 25
+        buf = jnp.asarray(rng.integers(-5, 100, (N1, B)).astype(np.int32))
+        buf = buf.at[N1 - 1].set(-1)  # pristine dump row
+        # Unique live (row, col) targets + some dump-row entries.
+        live = rng.permutation(np.arange((N1 - 1) * B))[: E - 5]
+        rows = np.concatenate([live // B, np.full(5, N1 - 1)]).astype(np.int32)
+        cols = np.concatenate([live % B, np.zeros(5)]).astype(np.int32)
+        vals = rng.integers(0, 1000, E).astype(np.int32)
+
+        want = buf.at[jnp.asarray(rows), jnp.asarray(cols)].set(
+            jnp.asarray(vals), mode="drop"
+        ).at[N1 - 1].set(-1)
+        got = scatter_cells(
+            buf, jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(vals),
+            interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_recency_push_pallas_scatter_matches_jnp():
+    """Full push with the Pallas scatter (interpret) vs the jnp scatter."""
+    import tgm_tpu.hooks.neighbors as nb
+    from tgm_tpu.ops.pallas import scatter_cells as sc
+
+    orig = sc.scatter_cells
+    rng = np.random.default_rng(5)
+    try:
+        # Route the pallas path through interpret mode on CPU.
+        sc.scatter_cells = lambda b, r, c, v: orig(b, r, c, v, interpret=True)
+        N, B, E = 20, 4, 30
+        src = jnp.asarray(rng.integers(0, N, E), jnp.int32)
+        dst = jnp.asarray(rng.integers(0, N, E), jnp.int32)
+        t = jnp.asarray(np.sort(rng.integers(0, 12, E)), jnp.int32)
+        eids = jnp.asarray(rng.integers(0, 300, E), jnp.int32)
+        valid = jnp.asarray(rng.random(E) > 0.25)
+        outs = []
+        for flag in (False, True):
+            nb.USE_PALLAS_SCATTER = flag
+            s = nb.recency_eid_init(N, B)
+            for rep in range(3):
+                s = nb.recency_eid_update(s, src, dst, t + 4 * rep, eids, valid, False)
+            outs.append([np.asarray(x) for x in s])
+        for a, b in zip(*outs):
+            np.testing.assert_array_equal(a, b)
+    finally:
+        nb.USE_PALLAS_SCATTER = None
+        sc.scatter_cells = orig
