@@ -59,3 +59,62 @@ def test_ndcg_matches_sklearn():
 def test_binary_accuracy():
     acc = binary_accuracy(jnp.array([1.0, -1.0]), jnp.array([-1.0, 1.0]))
     assert float(acc) == 0.5
+
+
+def test_mrr_sum_count_composes_to_mrr():
+    import jax.numpy as jnp
+    from tgm_tpu.eval.metrics import mrr, mrr_sum_count
+
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.normal(size=12).astype(np.float32))
+    neg = jnp.asarray(rng.normal(size=(12, 7)).astype(np.float32))
+    s1, c1 = mrr_sum_count(pos[:5], neg[:5])
+    s2, c2 = mrr_sum_count(pos[5:], neg[5:])
+    combined = (float(s1) + float(s2)) / (float(c1) + float(c2))
+    np.testing.assert_allclose(combined, float(mrr(pos, neg)), rtol=1e-6)
+
+
+def test_mrr_all_invalid_batch_counts_zero():
+    import jax.numpy as jnp
+    from tgm_tpu.eval.metrics import mrr_sum_count
+
+    pos = jnp.zeros(4)
+    neg = jnp.zeros((4, 3))
+    s, c = mrr_sum_count(pos, neg, edge_valid=jnp.zeros(4, bool))
+    assert float(c) == 0.0
+    assert float(s) == 0.0
+
+
+def test_mrr_neg_valid_partial_candidates():
+    """Masked-out candidates must not affect the rank."""
+    import jax.numpy as jnp
+    from tgm_tpu.eval.metrics import mrr_per_edge
+
+    pos = jnp.asarray([1.0])
+    neg = jnp.asarray([[2.0, 0.5, 9.0]])
+    # With all candidates: 2 above pos -> rank 3.
+    full = mrr_per_edge(pos, neg)
+    np.testing.assert_allclose(np.asarray(full), [1 / 3])
+    # Masking the two high candidates leaves rank 1.
+    masked = mrr_per_edge(pos, neg, neg_valid=jnp.asarray([[False, True, False]]))
+    np.testing.assert_allclose(np.asarray(masked), [1.0])
+
+
+def test_mse_masks_invalid_rows():
+    import jax.numpy as jnp
+    from tgm_tpu.eval.metrics import mse
+
+    pred = jnp.asarray([1.0, 2.0, 100.0])
+    tgt = jnp.asarray([1.0, 0.0, 0.0])
+    out = mse(pred, tgt, valid=jnp.asarray([True, True, False]))
+    np.testing.assert_allclose(float(out), 2.0)  # mean((0, 4)) over valid
+
+
+def test_ndcg_with_ties_and_mask():
+    import jax.numpy as jnp
+    from tgm_tpu.eval.metrics import ndcg_at_k
+
+    scores = jnp.asarray([[0.9, 0.9, 0.1, 0.5]])
+    labels = jnp.asarray([[1.0, 0.0, 1.0, 0.0]])
+    out = float(ndcg_at_k(scores, labels, k=4))
+    assert 0.0 < out <= 1.0
