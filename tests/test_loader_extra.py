@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from tgm_tpu import DGData, DGDataLoader, DGraph
 
@@ -79,3 +80,53 @@ def test_hook_has_state_flags():
     assert not DeduplicationHook(4).has_state
     assert not BatchAnalyticsHook().has_state
     assert not PinMemoryHook().has_state
+
+
+def test_bad_batch_size_and_on_empty_validation():
+    data = DGData.from_raw(
+        edge_time=np.array([1, 2]), edge_index=np.array([[0, 1], [1, 2]]),
+        time_delta="s",
+    )
+    dg = DGraph(data)
+    with pytest.raises(ValueError):
+        DGDataLoader(dg, batch_size=0)
+    with pytest.raises(ValueError):
+        DGDataLoader(dg, batch_size=-5)
+    with pytest.raises(ValueError):
+        DGDataLoader(dg, batch_size=2, on_empty="explode")
+
+
+def test_on_empty_none_yields_empty_batches():
+    # Time batching over a gap: on_empty=None passes empty batches through.
+    data = DGData.from_raw(
+        edge_time=np.array([0, 1, 50, 51]),
+        edge_index=np.array([[0, 1], [1, 2], [2, 3], [3, 0]]),
+        time_delta="s",
+    )
+    dg = DGraph(data)
+    loader = DGDataLoader(dg, batch_size=10, batch_unit="s", on_empty=None)
+    batches = list(loader)
+    kinds = [int(b.edge_valid.sum()) for b in batches]
+    assert 0 in kinds  # at least one empty window crossed the gap
+    assert sum(kinds) == 4  # all real edges still served exactly once
+
+
+def test_node_event_only_stream_iterates():
+    # A graph with node events but no edges in some windows still iterates.
+    data = DGData.from_raw(
+        edge_time=np.array([0, 40]),
+        edge_index=np.array([[0, 1], [1, 2]]),
+        node_x_time=np.array([5, 20]),
+        node_x_nids=np.array([0, 2]),
+        node_x=np.ones((2, 2), np.float32),
+        time_delta="s",
+    )
+    dg = DGraph(data)
+    loader = DGDataLoader(dg, batch_size=10, batch_unit="s", on_empty="skip")
+    batches = list(loader)
+    served_edges = sum(int(b.edge_valid.sum()) for b in batches)
+    assert served_edges == 2
+    served_nodes = sum(
+        int(b.node_x_valid.sum()) for b in batches if b.node_x_valid is not None
+    )
+    assert served_nodes == 2
