@@ -177,3 +177,119 @@ def test_discretize_identity(tiny_events):
     np.testing.assert_array_equal(same.edge_time, d.edge_time)
     same2 = d.discretize("s")
     np.testing.assert_array_equal(same2.edge_time, d.edge_time)
+
+
+# ------------------------------------------------------------------ #
+# Validation-matrix breadth (mirrors reference test_data.py error paths)
+# ------------------------------------------------------------------ #
+def test_bad_edge_index_shapes():
+    t = np.array([1, 2])
+    with pytest.raises((ValueError, IndexError)):
+        DGData.from_raw(edge_time=t, edge_index=np.array([0, 1]), time_delta="s")
+    with pytest.raises(ValueError):
+        DGData.from_raw(
+            edge_time=t, edge_index=np.array([[0, 1, 2], [1, 2, 3]]),
+            time_delta="s",
+        )
+
+
+def test_mismatched_edge_time_length():
+    with pytest.raises(ValueError):
+        DGData.from_raw(
+            edge_time=np.array([1, 2, 3]),
+            edge_index=np.array([[0, 1], [1, 2]]),
+            time_delta="s",
+        )
+
+
+def test_mismatched_edge_feature_rows():
+    with pytest.raises(ValueError):
+        DGData.from_raw(
+            edge_time=np.array([1, 2]),
+            edge_index=np.array([[0, 1], [1, 2]]),
+            edge_x=np.ones((3, 4), np.float32),
+            time_delta="s",
+        )
+
+
+def test_non_integral_ids_rejected():
+    with pytest.raises((ValueError, TypeError)):
+        DGData.from_raw(
+            edge_time=np.array([1.0, 2.0]),
+            edge_index=np.array([[0.5, 1.2], [1.1, 2.9]]),
+            time_delta="s",
+        )
+
+
+def test_node_events_without_features_rejected_shape():
+    with pytest.raises(ValueError):
+        DGData.from_raw(
+            edge_time=np.array([1, 2]),
+            edge_index=np.array([[0, 1], [1, 2]]),
+            node_x_time=np.array([1, 2]),
+            node_x_nids=np.array([0]),  # mismatched lengths
+            node_x=np.ones((2, 3), np.float32),
+            time_delta="s",
+        )
+
+
+def test_node_label_shape_mismatch():
+    with pytest.raises(ValueError):
+        DGData.from_raw(
+            edge_time=np.array([1, 2]),
+            edge_index=np.array([[0, 1], [1, 2]]),
+            node_y_time=np.array([1]),
+            node_y_nids=np.array([0]),
+            node_y=np.ones((2, 1), np.float32),  # 2 rows for 1 event
+            time_delta="s",
+        )
+
+
+def test_time_delta_object_accepted():
+    from tgm_tpu.timedelta import TimeDeltaDG
+
+    d = DGData.from_raw(
+        edge_time=np.array([1, 2]),
+        edge_index=np.array([[0, 1], [1, 2]]),
+        time_delta=TimeDeltaDG("m", 5),
+    )
+    assert d.time_delta.unit == "m" and d.time_delta.value == 5
+
+
+def test_event_ordered_time_delta():
+    d = DGData.from_raw(
+        edge_time=np.array([0, 1, 2]),
+        edge_index=np.array([[0, 1], [1, 2], [2, 0]]),
+        time_delta="r",
+    )
+    assert d.time_delta.is_event_ordered
+
+
+def test_unsorted_node_events_resorted_consistently():
+    # Edge + node events given out of order: the unified timeline must be
+    # sorted and keep (time, nid, feature) rows aligned.
+    d = DGData.from_raw(
+        edge_time=np.array([5, 1]),
+        edge_index=np.array([[0, 1], [1, 2]]),
+        node_x_time=np.array([4, 2]),
+        node_x_nids=np.array([3, 0]),
+        node_x=np.array([[4.0], [2.0]], np.float32),
+        time_delta="s",
+    )
+    np.testing.assert_array_equal(d.edge_time, [1, 5])
+    order = np.argsort(d.node_x_time)
+    np.testing.assert_array_equal(d.node_x_time[order], [2, 4])
+    np.testing.assert_array_equal(d.node_x_nids[order], [0, 3])
+    np.testing.assert_array_equal(d.node_x[order].reshape(-1), [2.0, 4.0])
+
+
+def test_num_nodes_covers_all_event_kinds():
+    d = DGData.from_raw(
+        edge_time=np.array([1]),
+        edge_index=np.array([[0, 1]]),
+        node_x_time=np.array([2]),
+        node_x_nids=np.array([7]),
+        node_x=np.ones((1, 1), np.float32),
+        time_delta="s",
+    )
+    assert d.num_nodes >= 8
