@@ -446,3 +446,53 @@ def test_recency_hook_packed_requires_eid_mode():
     with pytest.raises(ValueError):
         RecencyNeighborHook(4, [3], ["edge_src"], ["edge_time"],
                             packed_buffers=True)
+
+
+# ------------------------------------------------------------------ #
+# Historical negative sampler breadth
+# ------------------------------------------------------------------ #
+def test_historical_first_batch_has_no_history(dg):
+    h = HistoricalNegativeEdgeSamplerHook()
+    loader = DGDataLoader(dg, batch_size=2)
+    b0 = h(dg, next(iter(loader)))
+    # Nothing logged yet: every negative must be invalid/PAD.
+    assert not bool(np.asarray(b0.valid_neg_mask).any())
+    assert (np.asarray(b0.neg) == PADDED_NODE_ID).all()
+
+
+def test_historical_negatives_come_from_source_history(dg):
+    h = HistoricalNegativeEdgeSamplerHook()
+    loader = DGDataLoader(dg, batch_size=1)
+    seen_by_src: dict = {}
+    for b in loader:
+        b = h(dg, b)
+        src = np.asarray(b.edge_src)
+        neg = np.asarray(b.neg)
+        valid = np.asarray(b.valid_neg_mask) & np.asarray(b.edge_valid)
+        for i in range(len(src)):
+            if valid[i]:
+                assert neg[i] in seen_by_src.get(int(src[i]), set()), (
+                    src[i], neg[i], seen_by_src)
+        ev = np.asarray(b.edge_valid)
+        for s, d in zip(src[ev], np.asarray(b.edge_dst)[ev]):
+            seen_by_src.setdefault(int(s), set()).add(int(d))
+
+
+def test_historical_reset_clears_log(dg):
+    h = HistoricalNegativeEdgeSamplerHook()
+    loader = DGDataLoader(dg, batch_size=2)
+    for b in loader:
+        h(dg, b)
+    h.reset_state()
+    b0 = h(dg, next(iter(DGDataLoader(dg, batch_size=2))))
+    assert not bool(np.asarray(b0.valid_neg_mask).any())
+
+
+def test_historical_log_count_tracks_valid_edges(dg):
+    h = HistoricalNegativeEdgeSamplerHook()
+    loader = DGDataLoader(dg, batch_size=3)  # padded final batch
+    total = 0
+    for b in loader:
+        b = h(dg, b)
+        total += int(np.asarray(b.edge_valid).sum())
+    assert int(np.asarray(h.state[3])) == total
