@@ -324,7 +324,7 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--smoke", action="store_true", help="tiny shapes, fast check")
     p.add_argument("--bsize", type=int, default=200)
-    p.add_argument("--epochs", type=int, default=2, help="timed epochs after warmup")
+    p.add_argument("--epochs", type=int, default=4, help="timed epochs after warmup (min is reported; single-epoch timings jitter ~15% through the remote-TPU tunnel)")
     p.add_argument("--unroll", type=int, default=1,
                    help="lax.scan unroll factor for the epoch body")
     p.add_argument("--dedup-staging", action="store_true",
