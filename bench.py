@@ -118,12 +118,14 @@ def run_hook_bench(args, dg, stream, num_nodes, num_edges, edge_dim,
             low=int(dg.edge_dst.min()), high=int(dg.edge_dst.max())
         ),
     )
+    layout = "packed" if args.packed_recency else args.recency
     hm.register_shared(
         RecencyNeighborHook(
             num_nodes, [10], ["edge_src", "edge_dst", "neg"],
             ["edge_time", "edge_time", "neg_time"], edge_dim=edge_dim,
-            edge_x_full=dg._storage._data.edge_x,
-            packed_buffers=args.packed_recency,
+            edge_x_full=(None if layout == "feats"
+                         else dg._storage._data.edge_x),
+            packed_buffers=layout == "packed",
         )
     )
 
@@ -175,14 +177,15 @@ def run_hook_bench(args, dg, stream, num_nodes, num_edges, edge_dim,
     edges_per_sec = num_edges / min(times)
     name = (
         "tgn_train_edges_per_sec_tgbl_wiki_shape"
-        if canonical
-        else "tgn_hook_api_train_edges_per_sec_tgbl_wiki_shape"
+        if canonical and layout == "eid"
+        else f"tgn_hook_api_{layout}_train_edges_per_sec_tgbl_wiki_shape"
     )
     out = {
         "metric": name,
         "value": round(edges_per_sec, 1),
         "unit": "edges/s",
         "execution": "scanned_hook_api",
+        "recency_layout": layout,
         "vs_baseline": round(edges_per_sec / BASELINE_CUDA_ESTIMATE_EDGES_PER_SEC, 3),
         "baseline_is": "tgm_cuda_estimate_15k",
     }
@@ -331,6 +334,11 @@ def main() -> None:
                    help="stage unique memory rows only (sort + inverse gather)")
     p.add_argument("--packed-recency", action="store_true",
                    help="packed (N,K,3) recency buffer: 1 gather/scatter vs 3")
+    p.add_argument("--recency", choices=["eid", "packed", "feats"], default="eid",
+                   help="recency state layout (hook-API models): eid buffers + "
+                   "static-table feature gather (default), packed (N,K,3), or "
+                   "feature-carrying buffers (the only layout valid when the "
+                   "edge feature table exceeds HBM — see bench_large.py)")
     p.add_argument("--feat-bf16", choices=["auto", "on", "off"], default="auto",
                    help="bf16 storage for static feature tables (auto: on for TPU)")
     p.add_argument("--attn-bf16", choices=["auto", "on", "off"], default="auto",

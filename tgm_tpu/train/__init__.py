@@ -1,4 +1,5 @@
 from .checkpoint import CheckpointManager, restore_checkpoint, save_checkpoint
+from .chunked import ChunkedEdgeStream, chunked_hook_epoch
 from .epoch import jit_scan_epoch, scan_epoch
 from .hook_pipeline import scanned_hook_epoch
 from .stream import DeviceEdgeStream, DeviceEventStream
@@ -7,6 +8,8 @@ from .tgn_pipeline import TGNCarry, TGNPipeline
 
 __all__ = [
     "CheckpointManager",
+    "ChunkedEdgeStream",
+    "chunked_hook_epoch",
     "DeviceEdgeStream",
     "DeviceEventStream",
     "TGATCarry",
