@@ -94,13 +94,17 @@ def build_hooks(num_nodes: int, edge_dim: int, num_nbrs: int = 10):
 
 
 def time_epochs(epoch, carry, hstates, n_timed: int):
+    import jax
+
     carry, hstates, losses = epoch(carry, hstates)  # compile + warm
+    jax.block_until_ready(losses)
     first = float(np.asarray(losses).ravel()[0])
     assert np.isfinite(first), f"non-finite loss: {first}"
     times = []
     for _ in range(max(n_timed, 1)):
         t0 = time.perf_counter()
         carry, hstates, losses = epoch(carry, hstates)
+        jax.block_until_ready(losses)
         times.append(time.perf_counter() - t0)
     return times
 

@@ -38,16 +38,36 @@ def _dense_adj(
     return flat.reshape(num_nodes, num_nodes)
 
 
+def _last_occurrence_mask(vals: jnp.ndarray, num_nodes: int) -> jnp.ndarray:
+    """True where row r is the LAST occurrence of vals[r] within vals."""
+    B = vals.shape[0]
+    idx = jnp.arange(B, dtype=jnp.int32)
+    last = jnp.full((num_nodes,), -1, jnp.int32).at[vals].max(idx)
+    return idx == last[vals]
+
+
 class NCNPredictor(nn.Module):
     in_channels: int
     hidden_dim: int
     out_channels: int
     k: int = 2
     cn_time_decay: bool = False
+    # Bug-compatibility for end-to-end parity: the reference's
+    # ``_sparse_sliding`` builds its row remap with ``mapping[rows] =
+    # arange(len(rows))`` (ncnpred.py:29-33), so when a query node appears
+    # several times in ``tar_i``/``tar_j`` (same src against Q candidates,
+    # repeated endpoints inside a batch) ALL of its adjacency mass lands on
+    # the LAST duplicate row and every earlier duplicate row scores with a
+    # zero CN embedding. Default (False) gives every row its adjacency.
+    # Only k in {2, 4} supported with the flag (k=8's diagonal corrections
+    # compound the defect through row- and column-slicing).
+    reference_dup_rows: bool = False
 
     def setup(self) -> None:
         if self.k not in (2, 4, 8):
             raise ValueError("Please choose k from [2,4,8]")
+        if self.reference_dup_rows and self.k == 8:
+            raise ValueError("reference_dup_rows only supports k in {2, 4}")
         self.xsmlp = nn.Sequential(
             [nn.Dense(self.hidden_dim), nn.relu, nn.Dense(self.out_channels)]
         )
@@ -73,6 +93,11 @@ class NCNPredictor(nn.Module):
             decay = jnp.exp(-(pos_t[:, None] - last_update[None, :]).astype(jnp.float32) / 10000.0)
 
         row1_i, row1_j = A[i], A[j]  # (B, U)
+        if self.reference_dup_rows:
+            mi = _last_occurrence_mask(i, U).astype(x.dtype)[:, None]
+            mj = _last_occurrence_mask(j, U).astype(x.dtype)[:, None]
+            row1_i = row1_i * mi
+            row1_j = row1_j * mj
 
         def dec(m):
             return m * decay if decay is not None else m
@@ -83,6 +108,9 @@ class NCNPredictor(nn.Module):
         elif self.k == 4:
             row0_i = jnp.zeros((B, U)).at[jnp.arange(B), i].set(1.0)
             row0_j = jnp.zeros((B, U)).at[jnp.arange(B), j].set(1.0)
+            if self.reference_dup_rows:  # adj0 slicing has the same defect
+                row0_i = row0_i * mi
+                row0_j = row0_j * mj
             cn_01 = dec(row0_i * row1_j)
             cn_10 = dec(row1_i * row0_j)
             cn_11 = dec(row1_i * row1_j)

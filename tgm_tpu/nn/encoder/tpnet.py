@@ -109,6 +109,11 @@ class RandomProjectionModule(nn.Module):
     num_edges: Optional[int] = None
     dim_factor: Optional[int] = None
     concat_src_dst: bool = True
+    # Bug-compatibility for end-to-end parity: the reference's (N, dim)
+    # matrices index padded ids (-1) at row N-1 via torch negative indexing
+    # (tpnet.py:204-209), i.e. padded neighbors read a REAL node's
+    # projections. Default (False) routes them to the zero dump row.
+    reference_pad_bias: bool = False
 
     @property
     def dim(self) -> int:
@@ -147,7 +152,8 @@ class RandomProjectionModule(nn.Module):
         self, state: RandomProjectionState, src: jnp.ndarray, dst: jnp.ndarray
     ) -> jnp.ndarray:
         n = self.num_nodes
-        rows = lambda ids: jnp.where((ids >= 0) & (ids < n), ids, n)
+        invalid_row = n - 1 if self.reference_pad_bias else n
+        rows = lambda ids: jnp.where((ids >= 0) & (ids < n), ids, invalid_row)
         src_rp = state.projections[:, rows(src)]  # (L+1, B, dim)
         dst_rp = state.projections[:, rows(dst)]
         src_rp = jnp.moveaxis(src_rp, 0, 1)  # (B, L+1, dim)
@@ -174,6 +180,11 @@ class TPNet(nn.Module):
     num_layers: int = 2
     dropout: float = 0.1
     random_projections: Optional[RandomProjectionModule] = None
+    # Bug-compatibility for end-to-end parity: the reference's masked_fill
+    # result is DISCARDED (tpnet.py:404), so padded rows leak projection-
+    # layer bias (and pad-biased RP features) into the mixer mean. Default
+    # (False) zeroes them as clearly intended.
+    reference_pad_bias: bool = False
 
     requires: Set[str] = frozenset({"nbr_nids", "nbr_edge_time", "nbr_edge_x"})
 
@@ -231,8 +242,10 @@ class TPNet(nn.Module):
         h = self.proj_out(nn.relu(self.proj_hidden(h)))
         # Documented divergence: the reference's masked_fill (tpnet.py:404) is
         # non-in-place with its result discarded, so padded rows leak biased
-        # embeddings into the mean there; we zero them as clearly intended.
-        h = jnp.where(pad, 0.0, h)
+        # embeddings into the mean there; we zero them as clearly intended
+        # (reference_pad_bias=True reproduces the reference for parity runs).
+        if not self.reference_pad_bias:
+            h = jnp.where(pad, 0.0, h)
         for mixer in self.mlp_mixers:
             h = mixer(h, deterministic=deterministic)
         emb = jnp.mean(h, axis=1)

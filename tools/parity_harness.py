@@ -733,10 +733,16 @@ def main() -> None:
 # --------------------------------------------------------------------------- #
 # TGAT end-to-end training parity
 # --------------------------------------------------------------------------- #
-def run_reference_tgat(cfg: ParityConfig, splits, negs, n_nbrs) -> Dict:
+def run_reference_tgat(cfg: ParityConfig, splits, negs, n_nbrs,
+                       init_seed=None, static_x=None) -> Dict:
     """Reference TGAT example pipeline (torch CPU): recency hooks, 2-hop
     sampling, BCE + Adam, candidate-list eval
-    (/root/reference/examples/linkproppred/tgat.py:55-210)."""
+    (/root/reference/examples/linkproppred/tgat.py:55-210).
+
+    ``init_seed``/``static_x`` exist for the control experiments in
+    tools/parity_zoo.py: re-run the SAME data with fresh weight inits
+    (init_seed) or perturbed inputs (caller-perturbed splits + pinned
+    static_x) to measure the reference's own training chaos envelope."""
     import torch
     import torch.nn.functional as F
 
@@ -748,10 +754,11 @@ def run_reference_tgat(cfg: ParityConfig, splits, negs, n_nbrs) -> Dict:
     from tgm.hooks import HookManager, RecencyNeighborHook
     from tgm.nn import TGAT, LinkPredictor
 
-    torch.manual_seed(cfg.seed)
-    static_x = np.random.default_rng(cfg.seed + 2).normal(
-        size=(cfg.n_nodes, 1)
-    ).astype(np.float32)
+    torch.manual_seed(cfg.seed if init_seed is None else init_seed)
+    if static_x is None:
+        static_x = np.random.default_rng(cfg.seed + 2).normal(
+            size=(cfg.n_nodes, 1)
+        ).astype(np.float32)
 
     def dg_of(sp):
         data = DGData.from_raw(

@@ -552,3 +552,27 @@ def link_predictor_params(ref_dec) -> dict:
             "mlp": {f"Dense_{i}": dense_params(lin) for i, lin in enumerate(linears)}
         }
     }
+
+
+def ncn_params(ref_dec) -> dict:
+    """Reference NCNPredictor -> ours. Only ``xsmlp`` carries into the
+    forward pass (reference ncnpred.py:319-347); ``xslin`` is dead code."""
+    return {
+        "params": {
+            "xsmlp": {
+                "layers_0": dense_params(ref_dec.xsmlp[0]),
+                "layers_2": dense_params(ref_dec.xsmlp[2]),
+            }
+        }
+    }
+
+
+def gclstm_params(ref) -> dict:
+    """Reference GCLSTM cell (gclstm.py:44-227; per-gate input weight +
+    ChebConv over the hidden state) -> our flax GCLSTM param dict."""
+    p = {}
+    for g in ("i", "f", "c", "o"):
+        p[f"W_{g}"] = t2n(getattr(ref, f"W_{g}"))
+        p[f"b_{g}"] = t2n(getattr(ref, f"b_{g}"))
+        p[f"conv_{g}"] = cheb_conv_params(getattr(ref, f"conv_{g}"))
+    return {"params": p}
