@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Any, Set, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -55,6 +56,44 @@ class NeighborCooccurrenceEncoder(nn.Module):
         return src_feat, dst_feat
 
 
+class FusedSelfAttention(nn.Module):
+    """Self-attention with one fused QKV matmul and explicit einsum core.
+
+    Same math as ``nn.MultiHeadDotProductAttention`` (torch
+    ``nn.MultiheadAttention`` in the reference, dygformer.py:404-431) but
+    shaped for the MXU: q/k/v come out of ONE (D, 3D) projection instead of
+    three DenseGenerals, the score/value dots run on ``dtype`` (bf16)
+    operands with f32 accumulation, and the softmax stays f32.
+    """
+
+    dim: int
+    num_heads: int
+    dropout: float = 0.1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        B, S, D = h.shape
+        H = self.num_heads
+        dh = D // H
+        qkv = nn.Dense(3 * D, dtype=self.dtype, name="qkv")(h)  # (B, S, 3D)
+        q = qkv[..., :D].reshape(B, S, H, dh)
+        k = qkv[..., D : 2 * D].reshape(B, S, H, dh)
+        v = qkv[..., 2 * D :].reshape(B, S, H, dh)
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * (dh**-0.5)
+        a = jax.nn.softmax(logits, axis=-1)
+        a = nn.Dropout(self.dropout)(a, deterministic=deterministic)
+        out = jnp.einsum(
+            "bhqk,bkhd->bqhd",
+            a.astype(qkv.dtype),
+            v,
+            preferred_element_type=jnp.float32,
+        ).reshape(B, S, D)
+        return nn.Dense(D, dtype=self.dtype, name="out")(out)
+
+
 class TransformerEncoder(nn.Module):
     attention_dim: int
     num_heads: int
@@ -65,12 +104,12 @@ class TransformerEncoder(nn.Module):
     def __call__(self, inputs: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         # LayerNorms stay f32 (stat stability); matmuls run in ``dtype``.
         h = nn.LayerNorm(epsilon=1e-5)(inputs)
-        attn = nn.MultiHeadDotProductAttention(
+        attn = FusedSelfAttention(
+            dim=self.attention_dim,
             num_heads=self.num_heads,
-            qkv_features=self.attention_dim,
-            dropout_rate=self.dropout,
+            dropout=self.dropout,
             dtype=self.dtype,
-        )(h, h, deterministic=deterministic)
+        )(h, deterministic=deterministic)
         out = inputs + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
 
         h = nn.LayerNorm(epsilon=1e-5)(out)
@@ -175,22 +214,28 @@ class DyGFormer(nn.Module):
             f = node_x[jnp.maximum(nbrs, 0)]
             return jnp.where((nbrs == PADDED_NODE_ID)[..., None], 0.0, f)
 
-        def time_feats(nbrs, ntime):
-            f = self.time_encoder((edge_time[:, None] - ntime).astype(jnp.float32))
-            return jnp.where((nbrs == PADDED_NODE_ID)[..., None], 0.0, f)
-
         s_cooc, d_cooc = self.co_occurrence_encoder(s_n, d_n)
 
-        def channels(nbrs, ntime, nfeat, cooc):
-            return (
-                self.proj_node(self._patches(node_feats(nbrs))),
-                self.proj_edge(self._patches(nfeat)),
-                self.proj_time(self._patches(time_feats(nbrs, ntime))),
-                self.proj_cooc(self._patches(cooc)),
-            )
+        # Project each channel ONCE over the stacked [src; dst] batch (2B, …)
+        # instead of per side — halves the matmul dispatch count; the per-side
+        # form is mathematically identical (same weights, split batch).
+        def time_feats2(nbrs, ntime):
+            seed_t = jnp.concatenate([edge_time, edge_time])[:, None]
+            f = self.time_encoder((seed_t - ntime).astype(jnp.float32))
+            return jnp.where((nbrs == PADDED_NODE_ID)[..., None], 0.0, f)
 
-        s_ch = channels(s_n, s_t, s_e, s_cooc)
-        d_ch = channels(d_n, d_t, d_e, d_cooc)
+        nbrs2 = jnp.concatenate([s_n, d_n], axis=0)  # (2B, L)
+        ntime2 = jnp.concatenate([s_t, d_t], axis=0)
+        nfeat2 = jnp.concatenate([s_e, d_e], axis=0)
+        cooc2 = jnp.concatenate([s_cooc, d_cooc], axis=0)
+        ch2 = (
+            self.proj_node(self._patches(node_feats(nbrs2))),
+            self.proj_edge(self._patches(nfeat2)),
+            self.proj_time(self._patches(time_feats2(nbrs2, ntime2))),
+            self.proj_cooc(self._patches(cooc2)),
+        )
+        s_ch = tuple(c[:B] for c in ch2)
+        d_ch = tuple(c[B:] for c in ch2)
 
         P = self.num_patches
         joined = [jnp.concatenate([s, d], axis=1) for s, d in zip(s_ch, d_ch)]
