@@ -98,14 +98,18 @@ def time_epochs(epoch, carry, hstates, n_timed: int):
 
     carry, hstates, losses = epoch(carry, hstates)  # compile + warm
     jax.block_until_ready(losses)
-    first = float(np.asarray(losses).ravel()[0])
-    assert np.isfinite(first), f"non-finite loss: {first}"
     times = []
     for _ in range(max(n_timed, 1)):
         t0 = time.perf_counter()
         carry, hstates, losses = epoch(carry, hstates)
         jax.block_until_ready(losses)
         times.append(time.perf_counter() - t0)
+    # Finiteness check LAST: the first device->host read flips the remote
+    # tunnel into its 20x-slower H2D mode for the rest of the process
+    # (tgm_tpu/train/chunked.py docstring), so no fetch may happen before
+    # the timed epochs' chunk uploads.
+    first = float(np.asarray(losses).ravel()[0])
+    assert np.isfinite(first), f"non-finite loss: {first}"
     return times
 
 
@@ -132,7 +136,9 @@ def run_large(args) -> dict:
     edge_x = rng.random((E, D), dtype=np.float32)
     gen_s = time.perf_counter() - t_gen0
 
-    stream = ChunkedEdgeStream.from_arrays(src, dst, t, edge_x, B, C)
+    feat_dtype = _feat_dtype(args)
+    stream = ChunkedEdgeStream.from_arrays(src, dst, t, edge_x, B, C,
+                                           feat_dtype=feat_dtype)
     feature_gb = edge_x.nbytes / 1e9
     stream_gb = (edge_x.nbytes + src.nbytes + dst.nbytes + t.nbytes) / 1e9
 
@@ -171,6 +177,7 @@ def run_large(args) -> dict:
         "peak_device_live_gb": round(peak["bytes"] / 1e9, 3),
         "chunk_gb": round(stream.chunk_nbytes / 1e9, 4),
         "host_gen_s": round(gen_s, 1),
+        "stream_feat_dtype": str(np.dtype(stream._edge_x.dtype)),
         "vs_baseline": round(edges_per_sec / BASELINE_CUDA_ESTIMATE_EDGES_PER_SEC, 3),
         "baseline_is": "tgm_cuda_estimate_15k",
     }
@@ -196,6 +203,20 @@ def run_wiki_ratio(args) -> dict:
     data = build_stream(N, E, D)
     dg = DGraph(data)
 
+    # Chunked epoch FIRST: its uploads need the tunnel's fast H2D mode, and
+    # the resident path's end-of-timing loss fetch would flip the mode
+    # (tgm_tpu/train/chunked.py docstring). The resident epoch uploads only
+    # at stream construction, so running second costs it nothing timed.
+    num_batches = math.ceil(E / B)
+    C = args.chunk_batches
+    while num_batches % C:
+        C -= 1
+    core, carry = build_model(N, D)
+    hm = build_hooks(N, D)
+    ch = ChunkedEdgeStream(dg, B, C, feat_dtype=_feat_dtype(args))
+    epoch_c, hs = chunked_hook_epoch(ch, hm, "train", dg, core)
+    t_ch = time_epochs(epoch_c, carry, hs, args.epochs)
+
     # Resident scanned epoch, feature-carrying layout (apples-to-apples:
     # the chunked path cannot use the eid layout).
     core, carry = build_model(N, D)
@@ -203,16 +224,6 @@ def run_wiki_ratio(args) -> dict:
     res = DeviceEdgeStream(dg, B)
     epoch_r, hs = scanned_hook_epoch(res, hm, "train", dg, core)
     t_res = time_epochs(epoch_r, carry, hs, args.epochs)
-
-    num_batches = math.ceil(E / B)
-    C = args.chunk_batches
-    while num_batches % C:
-        C -= 1
-    core, carry = build_model(N, D)
-    hm = build_hooks(N, D)
-    ch = ChunkedEdgeStream(dg, B, C)
-    epoch_c, hs = chunked_hook_epoch(ch, hm, "train", dg, core)
-    t_ch = time_epochs(epoch_c, carry, hs, args.epochs)
 
     res_eps = E / min(t_res)
     ch_eps = E / min(t_ch)
@@ -225,14 +236,29 @@ def run_wiki_ratio(args) -> dict:
         "chunk_batches": ch.chunk_batches,
         "num_chunks": ch.num_chunks,
         "recency_layout": "feats",
+        "stream_feat_dtype": str(np.dtype(ch._edge_x.dtype)),
         "vs_baseline": round(ch_eps / BASELINE_CUDA_ESTIMATE_EDGES_PER_SEC, 3),
         "baseline_is": "tgm_cuda_estimate_15k",
     }
 
 
+def _feat_dtype(args):
+    """bf16 in-transit edge features (default): halves chunk upload bytes —
+    decisive once a device->host fetch has flipped the remote tunnel to its
+    ~75 MB/s H2D mode (tgm_tpu/train/chunked.py docstring). ``batch_at``
+    casts back to f32 on device; only transit precision changes."""
+    if args.feat_f32:
+        return None
+    import ml_dtypes
+
+    return ml_dtypes.bfloat16
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--smoke", action="store_true", help="tiny shapes, fast check")
+    p.add_argument("--feat-f32", action="store_true",
+                   help="stream edge features as f32 instead of bf16")
     p.add_argument("--wiki-ratio", action="store_true",
                    help="chunked vs resident at tgbl-wiki shapes")
     p.add_argument("--edges", type=int, default=LARGE_EDGES)

@@ -19,9 +19,30 @@ scanned execution model, so this module keeps the scan and streams the data:
   them has synced, so their HBM is released before the over-next upload.
 
 Peak device residency is therefore 2 chunks + model/hook state, independent
-of dataset size. Measured steady-state tunnel H2D is ~0.7-1.0 GB/s — about
-1M 172-dim-f32 edges/s of feature traffic — comfortably above the ~300k
+of dataset size. Measured idle tunnel H2D is ~1.3-1.6 GB/s — about
+2M 172-dim-f32 edges/s of feature traffic — comfortably above the ~300k
 edges/s TGN compute rate, so the transfers hide behind compute entirely.
+
+Remote-tunnel H2D quirk (measured 2026-08): the FIRST device->host transfer
+of any kind (``np.asarray``, ``float(x)``, even ``copy_to_host_async`` of an
+8-float array) permanently flips the tunnel's H2D path from ~1.5 GB/s to
+~75 MB/s for the rest of the process — a 20x degradation that never
+recovers. A fetch-free epoch is NOT an option: for this chunk program the
+remote client executes lazily — ``block_until_ready`` and ``is_ready``
+return immediately and compile/compute only happen at the first fetch — so
+the per-chunk scalar fetch below is the only honest synchronization (it
+bounds live chunks at two AND forces execution). Designing for the degraded
+bandwidth instead:
+
+* ``feat_dtype=ml_dtypes.bfloat16`` halves feature bytes in transit
+  (``batch_at`` casts back to f32 on device); at 75 MB/s a 500-batch
+  172-dim chunk uploads in ~0.45 s vs ~0.5 s compute — hidden.
+* the NEXT epoch's first chunk is prefetched while the current epoch's last
+  chunk computes, so steady-state epochs never expose an unoverlapped
+  upload (only the very first epoch pays ``put_chunk(0)`` serially).
+
+On a local TPU host (PCIe DMA) the flip does not exist and the same design
+simply runs further from the bandwidth ceiling.
 
 Hook-state note: datasets bigger than HBM rule out the eid recency layout
 (it gathers features from a device-resident full ``edge_x`` table at query
@@ -210,12 +231,16 @@ def chunked_hook_epoch(
     Same contract as ``scanned_hook_epoch`` (train/hook_pipeline.py):
     returns ``(epoch_fn, init_hook_states)`` with
     ``epoch_fn(carry, hook_states) -> (carry, hook_states, outs)``; ``outs``
-    comes back as a host numpy array (the per-chunk sync fetches it anyway).
+    comes back as a host numpy array (the per-chunk sync fetches it anyway —
+    the only honest sync on the remote runtime, see module docstring).
 
     The epoch runs ``stream.num_chunks`` invocations of one jitted
     chunk-scan program (two if the last chunk is shorter); chunk ``k+1``
-    uploads on a prefetch thread while chunk ``k`` computes, and each
-    chunk argument is donated so at most two chunks are HBM-live.
+    uploads on a prefetch thread while chunk ``k`` computes, each chunk's
+    buffers are reference-dropped after the scan consuming them has synced
+    (at most two chunks HBM-live), and chunk 0 of the NEXT epoch is
+    prefetched under the last chunk's compute so repeated epochs never
+    expose an unoverlapped first upload.
     """
     hook_fn, init_states = hm.as_transform(key, dg)
 
@@ -243,24 +268,34 @@ def chunked_hook_epoch(
         donate_argnums=(0,) if donate else (),
     )
 
+    # Long-lived prefetch thread + the cross-epoch pending chunk-0 future:
+    # epoch e+1's first upload overlaps epoch e's last chunk compute.
+    ex = ThreadPoolExecutor(1)
+    pending: list = []
+
     def epoch(carry, hook_states):
         outs = []
-        with ThreadPoolExecutor(1) as ex:
-            fut = ex.submit(stream.put_chunk, 0)
-            for k in range(stream.num_chunks):
-                chunk = fut.result()
-                if k + 1 < stream.num_chunks:
-                    fut = ex.submit(stream.put_chunk, k + 1)
-                carry, hook_states, o = jit_chunk(
-                    carry, hook_states, chunk, stream._chunk_len(k)
-                )
-                # Per-chunk sync: bounds live chunks at two (this one
-                # finishing, the next one uploading). Fetch-as-sync — the
-                # per-chunk outs are tiny (one scalar per batch). The chunk
-                # reference dies at the next loop iteration's rebind, after
-                # the compute consuming it has finished.
-                outs.append(jax.tree.map(np.asarray, o))
-                del chunk
+        fut = pending.pop() if pending else ex.submit(stream.put_chunk, 0)
+        for k in range(stream.num_chunks):
+            chunk = fut.result()
+            if k + 1 < stream.num_chunks:
+                fut = ex.submit(stream.put_chunk, k + 1)
+            carry, hook_states, o = jit_chunk(
+                carry, hook_states, chunk, stream._chunk_len(k)
+            )
+            if k + 1 == stream.num_chunks:
+                # Last chunk dispatched: start the NEXT epoch's first
+                # upload under its compute.
+                pending.append(ex.submit(stream.put_chunk, 0))
+            # Per-chunk sync: bounds live chunks at two (this one
+            # finishing, the next one uploading). Fetch-as-sync — the
+            # per-chunk outs are tiny (one scalar per batch), and on the
+            # remote runtime a fetch is the only sync that truly forces
+            # execution (module docstring). The chunk reference dies at
+            # the next loop iteration's rebind, after the compute
+            # consuming it has finished.
+            outs.append(jax.tree.map(np.asarray, o))
+            del chunk
         stacked = jax.tree.map(lambda *xs: np.concatenate(xs), *outs)
         return carry, hook_states, stacked
 
