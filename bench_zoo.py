@@ -1,0 +1,670 @@
+"""Model-zoo throughput: scanned-epoch training edges/s for every encoder
+family that bench.py does not already cover (TGN/TGAT/DyGFormer live there).
+
+One JSON line per model at tgbl-wiki shapes (same synthetic stream generator
+as bench.py), measured through each model's canonical execution path:
+
+* tpnet / ctan / tncn / graphmixer — ``scanned_hook_epoch`` (the hook-API DAG
+  and the model step fused into one XLA program per epoch), mirroring the
+  corresponding ``examples/linkproppred/*.py`` train steps and the reference
+  examples they cite.
+* gclstm — the merged snapshot schedule (``scanned_snapshot_epoch``): daily
+  snapshots advance the GC-LSTM recurrence interleaved with event prediction
+  batches, the reference DTDG flow (/root/reference/examples/linkproppred/
+  gclstm.py:187-208) as ONE scan.
+
+Baselines: ``vs_baseline`` uses the same conservative 15k-edges/s TGM-CUDA
+estimate as bench.py. ``vs_reference_cpu_measured`` is the measured torch
+reference train loop for the SAME model at the SAME shapes, read from
+BASELINE_ZOO.json (produced by ``python tools/measure_baseline_zoo.py``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+from bench import (
+    BASELINE_CUDA_ESTIMATE_EDGES_PER_SEC,
+    WIKI_EDGE_DIM,
+    WIKI_EDGES,
+    WIKI_NODES,
+    build_stream,
+)
+
+ZOO = ["tpnet", "ctan", "tncn", "graphmixer", "gclstm"]
+
+# Static node feature dims, mirroring each example's setup_linkpred static_dim.
+NODE_DIM = {"tpnet": 8, "ctan": 8, "tncn": 1, "graphmixer": 32, "gclstm": 16}
+
+
+def zoo_cpu_baseline(model: str, num_edges: int, bsize: int):
+    path = Path(__file__).resolve().parent / "BASELINE_ZOO.json"
+    if not path.exists():
+        return None
+    rec = json.loads(path.read_text()).get(model)
+    if not rec or rec.get("num_edges") != num_edges or rec.get("bsize") != bsize:
+        return None
+    return float(rec["reference_train_edges_per_sec"])
+
+
+def _node_x(num_nodes: int, dim: int):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.normal(size=(num_nodes, dim)).astype(np.float32))
+
+
+def _bce(pos, neg, valid):
+    import jax.numpy as jnp
+    import optax
+
+    m = valid.astype(pos.dtype)
+    d = jnp.maximum(m.sum(), 1.0)
+    return (
+        jnp.sum(optax.sigmoid_binary_cross_entropy(pos, jnp.ones_like(pos)) * m)
+        + jnp.sum(optax.sigmoid_binary_cross_entropy(neg, jnp.zeros_like(neg)) * m)
+    ) / d
+
+
+def _time_scanned_epoch(args, num_edges, epoch, carry, hstates):
+    import jax
+
+    carry, hstates, losses = epoch(carry, hstates)  # compile + warm
+    jax.block_until_ready(losses)
+    first = float(np.asarray(losses)[0])
+    assert np.isfinite(first), f"non-finite loss: {first}"
+    times = []
+    for _ in range(max(args.epochs, 1)):
+        t0 = time.perf_counter()
+        carry, hstates, losses = epoch(carry, hstates)
+        jax.block_until_ready(losses)
+        times.append(time.perf_counter() - t0)
+    return num_edges / min(times)
+
+
+def _base_hm(dg):
+    from tgm_tpu.hooks import HookManager, RandomNegativeEdgeSamplerHook
+
+    hm = HookManager(keys=["train"])
+    hm.register(
+        "train",
+        RandomNegativeEdgeSamplerHook(
+            low=int(dg.edge_dst.min()), high=int(dg.edge_dst.max())
+        ),
+    )
+    return hm
+
+
+def bench_tpnet(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
+    """Mirror of examples/linkproppred/tpnet.py's train step (reference
+    tpnet example hyperparams: 20 recency nbrs, time 100, embed 100)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tgm_tpu.hooks import RecencyNeighborHook
+    from tgm_tpu.nn import LinkPredictor, RandomProjectionModule, TPNet
+    from tgm_tpu.nn.encoder.tpnet import rp_update
+    from tgm_tpu.train import scanned_hook_epoch
+
+    K, time_dim, embed_dim = 20, 100, 100
+    node_x = _node_x(num_nodes, NODE_DIM["tpnet"])
+    hm = _base_hm(dg)
+    hm.register_shared(
+        RecencyNeighborHook(
+            num_nodes, [K], ["edge_src", "edge_dst", "neg"],
+            ["edge_time", "edge_time", "neg_time"], edge_dim=edge_dim,
+            edge_x_full=dg._storage._data.edge_x,
+        )
+    )
+    rp = RandomProjectionModule(
+        num_nodes=num_nodes, num_layer=2, time_decay_weight=1e-6,
+        beginning_time=float(dg.start_time or 0), use_matrix=False,
+        enforce_dim=min(64, num_nodes),
+    )
+    encoder = TPNet(
+        node_feat_dim=node_x.shape[1], edge_x_dim=edge_dim,
+        time_feat_dim=time_dim, output_dim=embed_dim, num_neighbors=K,
+        dropout=0.0, random_projections=rp,
+    )
+    decoder = LinkPredictor(node_dim=embed_dim, hidden_dim=embed_dim)
+    opt = optax.adam(1e-4)
+
+    key = jax.random.PRNGKey(0)
+    key, k1, k2, k3 = jax.random.split(key, 4)
+    rp_state = rp.init_state(k1)
+    B0 = 4
+    ez = lambda *s: jnp.zeros(s, jnp.int32)
+    params = {
+        "enc": encoder.init(
+            k2, node_x, ez(B0), ez(B0), ez(B0), ez(2 * B0, K), ez(2 * B0, K),
+            jnp.zeros((2 * B0, K, edge_dim)), rp_state,
+        ),
+        "dec": decoder.init(
+            k3, jnp.zeros((1, embed_dim)), jnp.zeros((1, embed_dim))
+        ),
+    }
+    opt_state = opt.init(params)
+
+    def rows(batch, a, b):
+        B = batch.edge_src.shape[0]
+        sel = lambda x: jnp.concatenate(
+            [x[a * B : (a + 1) * B], x[b * B : (b + 1) * B]]
+        )
+        return (
+            sel(batch.nbr_nids[0]),
+            sel(batch.nbr_edge_time[0]),
+            sel(batch.nbr_edge_x[0]),
+        )
+
+    def core(carry, batch):
+        params, opt_state, rp_state = carry
+
+        def loss_fn(p):
+            zs, zd = encoder.apply(
+                p["enc"], node_x, batch.edge_src, batch.edge_dst,
+                batch.edge_time, *rows(batch, 0, 1), rp_state,
+            )
+            zs2, zn = encoder.apply(
+                p["enc"], node_x, batch.edge_src, batch.neg,
+                batch.edge_time, *rows(batch, 0, 2), rp_state,
+            )
+            pos = decoder.apply(p["dec"], zs, zd)
+            neg = decoder.apply(p["dec"], zs2, zn)
+            return _bce(pos, neg, batch.edge_valid)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        rp_state = rp_update(
+            rp_state, batch.edge_src, batch.edge_dst, batch.edge_time,
+            batch.edge_valid, rp.time_decay_weight,
+        )
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, rp_state), loss
+
+    epoch, hstates = scanned_hook_epoch(stream, hm, "train", dg, core)
+    return _time_scanned_epoch(
+        args, num_edges, epoch, (params, opt_state, rp_state), hstates
+    )
+
+
+def bench_ctan(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
+    """Mirror of examples/linkproppred/ctan.py's train step."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tgm_tpu.constants import PADDED_NODE_ID
+    from tgm_tpu.hooks import DeduplicationHook, RecencyNeighborHook, map_to_local
+    from tgm_tpu.nn import CTAN, LinkPredictor
+    from tgm_tpu.nn.encoder.ctan import ctan_memory_init, ctan_memory_update
+    from tgm_tpu.train import scanned_hook_epoch
+
+    K, time_dim, embed_dim = 10, 100, 100
+    node_x = _node_x(num_nodes, NODE_DIM["ctan"])
+    hm = _base_hm(dg)
+    hm.register_shared(
+        RecencyNeighborHook(
+            num_nodes, [K], ["edge_src", "edge_dst", "neg"],
+            ["edge_time", "edge_time", "neg_time"], edge_dim=edge_dim,
+            edge_x_full=dg._storage._data.edge_x,
+        )
+    )
+    hm.register_shared(
+        DeduplicationHook(num_nodes, seed_nodes_keys=["neg", "nbr_nids"])
+    )
+    t = np.asarray(dg.edge_time, dtype=np.float64)
+    dts = np.diff(t) if len(t) > 1 else np.ones(1)
+    encoder = CTAN(
+        edge_dim=edge_dim, memory_dim=embed_dim, time_dim=time_dim,
+        node_dim=node_x.shape[1], num_iters=1,
+        mean_delta_t=float(dts.mean()), std_delta_t=float(max(dts.std(), 1e-6)),
+    )
+    decoder = LinkPredictor(node_dim=embed_dim, hidden_dim=embed_dim)
+    opt = optax.adam(1e-4)
+
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    e4 = jnp.zeros(4, jnp.int32)
+    params = {
+        "enc": encoder.init(
+            k1, jnp.zeros((8, embed_dim + node_x.shape[1])),
+            jnp.zeros(8, jnp.int32), e4, e4, e4, jnp.zeros((4, edge_dim)),
+            jnp.ones(4, bool),
+        ),
+        "dec": decoder.init(
+            k2, jnp.zeros((1, embed_dim)), jnp.zeros((1, embed_dim))
+        ),
+    }
+    opt_state = opt.init(params)
+    mem_state = ctan_memory_init(num_nodes, embed_dim)
+
+    def encode(p, mem_state, batch):
+        g2l = batch.global_to_local
+        uids = batch.unique_nids
+        rows = jnp.where(uids >= 0, uids, num_nodes)
+        x = jnp.concatenate(
+            [
+                mem_state.memory[rows],
+                node_x[jnp.maximum(uids, 0)] * (uids >= 0)[:, None],
+            ],
+            axis=1,
+        )
+        seeds = batch.seed_nids[0]
+        nbrs = batch.nbr_nids[0]
+        Kn = nbrs.shape[1]
+        src_rep = jnp.repeat(seeds, Kn)
+        nbr_flat = nbrs.reshape(-1)
+        e_valid = (nbr_flat != PADDED_NODE_ID) & (src_rep != PADDED_NODE_ID)
+        return encoder.apply(
+            p["enc"], x, mem_state.last_update[rows],
+            map_to_local(g2l, src_rep), map_to_local(g2l, nbr_flat),
+            batch.nbr_edge_time[0].reshape(-1),
+            batch.nbr_edge_x[0].reshape(nbr_flat.shape[0], -1), e_valid,
+        )
+
+    def core(carry, batch):
+        params, opt_state, mem_state = carry
+        g2l = batch.global_to_local
+
+        def loss_fn(p):
+            z = encode(p, mem_state, batch)
+            zs = z[map_to_local(g2l, batch.edge_src)]
+            zd = z[map_to_local(g2l, batch.edge_dst)]
+            zn = z[map_to_local(g2l, batch.neg)]
+            pos = decoder.apply(p["dec"], zs, zd)
+            neg = decoder.apply(p["dec"], zs, zn)
+            return _bce(pos, neg, batch.edge_valid), (zs, zd)
+
+        (loss, (zs, zd)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        mem_state = ctan_memory_update(
+            mem_state, batch.edge_src, batch.edge_dst, batch.edge_time, zs, zd,
+            batch.edge_valid,
+        )
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, mem_state), loss
+
+    epoch, hstates = scanned_hook_epoch(stream, hm, "train", dg, core)
+    return _time_scanned_epoch(
+        args, num_edges, epoch, (params, opt_state, mem_state), hstates
+    )
+
+
+def bench_tncn(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
+    """Mirror of examples/linkproppred/tncn.py's train step (NCN k=2)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tgm_tpu.constants import PADDED_NODE_ID
+    from tgm_tpu.hooks import DeduplicationHook, RecencyNeighborHook, map_to_local
+    from tgm_tpu.nn import NCNPredictor
+    from tgm_tpu.nn.encoder.tgn import (
+        GraphAttentionEmbedding,
+        TGNMemory,
+        tgn_store_messages,
+    )
+    from tgm_tpu.train import scanned_hook_epoch
+
+    K, time_dim, embed_dim, memory_dim = 10, 100, 100, 100
+    hm = _base_hm(dg)
+    hm.register_shared(
+        RecencyNeighborHook(
+            num_nodes, [K], ["edge_src", "edge_dst", "neg"],
+            ["edge_time", "edge_time", "neg_time"], edge_dim=edge_dim,
+            edge_x_full=dg._storage._data.edge_x,
+        )
+    )
+    hm.register_shared(
+        DeduplicationHook(num_nodes, seed_nodes_keys=["neg", "nbr_nids"])
+    )
+    memory = TGNMemory(num_nodes=num_nodes, raw_msg_dim=edge_dim,
+                       memory_dim=memory_dim, time_dim=time_dim)
+    encoder = GraphAttentionEmbedding(
+        in_channels=memory_dim, out_channels=embed_dim, msg_dim=edge_dim,
+        time_dim=time_dim, dropout=0.0,
+    )
+    decoder = NCNPredictor(
+        in_channels=embed_dim, hidden_dim=embed_dim, out_channels=1, k=2
+    )
+    opt = optax.adam(1e-4)
+
+    mem_state = memory.init_state()
+    key = jax.random.PRNGKey(0)
+    key, k1, k2, k3 = jax.random.split(key, 4)
+    e4 = jnp.zeros(4, jnp.int32)
+    params = {
+        "mem": memory.init(k1, mem_state, jnp.zeros(4, jnp.int32)),
+        "enc": encoder.init(
+            k2, jnp.zeros((8, memory_dim)), jnp.zeros(8, jnp.int32),
+            e4, e4, e4, jnp.zeros((4, edge_dim)), jnp.ones(4, bool),
+        ),
+        "dec": decoder.init(
+            k3, jnp.zeros((8, embed_dim)), e4, e4, jnp.zeros(2, jnp.int32),
+            jnp.zeros(2, jnp.int32), jnp.zeros(8, jnp.int32),
+            jnp.zeros(2, jnp.int32),
+        ),
+    }
+    opt_state = opt.init(params)
+
+    def local_graph(batch):
+        g2l = batch.global_to_local
+        seeds = batch.seed_nids[0]
+        nbrs = batch.nbr_nids[0]
+        Kn = nbrs.shape[1]
+        src_rep = jnp.repeat(seeds, Kn)
+        nbr_flat = nbrs.reshape(-1)
+        e_valid = (nbr_flat != PADDED_NODE_ID) & (src_rep != PADDED_NODE_ID)
+        return (
+            map_to_local(g2l, src_rep), map_to_local(g2l, nbr_flat),
+            batch.nbr_edge_time[0].reshape(-1),
+            batch.nbr_edge_x[0].reshape(nbr_flat.shape[0], -1), e_valid,
+        )
+
+    def core(carry, batch):
+        params, opt_state, mem_state = carry
+        g2l = batch.global_to_local
+
+        def loss_fn(p):
+            z_mem, last_upd = memory.apply(
+                p["mem"], mem_state, batch.unique_nids, method=TGNMemory.stage
+            )
+            e_src, e_dst, e_t, e_x, e_valid = local_graph(batch)
+            z = encoder.apply(
+                p["enc"], z_mem, last_upd, e_src, e_dst, e_t, e_x, e_valid
+            )
+
+            def score(src, dst):
+                return decoder.apply(
+                    p["dec"], z, e_src, e_dst,
+                    map_to_local(g2l, src), map_to_local(g2l, dst),
+                    last_update=last_upd, edge_time=batch.edge_time,
+                    edge_valid=e_valid,
+                )
+
+            pos = score(batch.edge_src, batch.edge_dst)
+            neg = score(batch.edge_src, batch.neg)
+            return _bce(pos, neg, batch.edge_valid)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        nodes = jnp.concatenate([batch.edge_src, batch.edge_dst])
+        nodes = jnp.where(
+            jnp.concatenate([batch.edge_valid, batch.edge_valid]),
+            nodes, num_nodes,
+        )
+        mem_state = memory.apply(
+            params["mem"], mem_state, nodes, method=TGNMemory.flush
+        )
+        raw = batch.edge_x if batch.edge_x is not None else jnp.zeros(
+            (batch.edge_src.shape[0], 0)
+        )
+        mem_state = tgn_store_messages(
+            mem_state, batch.edge_src, batch.edge_dst, batch.edge_time, raw,
+            batch.edge_valid,
+        )
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, mem_state), loss
+
+    epoch, hstates = scanned_hook_epoch(stream, hm, "train", dg, core)
+    return _time_scanned_epoch(
+        args, num_edges, epoch, (params, opt_state, mem_state), hstates
+    )
+
+
+def bench_graphmixer(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
+    """Mirror of examples/linkproppred/graphmixer.py's train step."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from examples.linkproppred.graphmixer import GraphMixerEncoder
+
+    from tgm_tpu.hooks import RecencyNeighborHook
+    from tgm_tpu.nn import LinkPredictor
+    from tgm_tpu.train import scanned_hook_epoch
+
+    K, K_tg, time_dim, embed_dim = 20, 30, 100, 100
+    node_x = _node_x(num_nodes, NODE_DIM["graphmixer"])
+    hm = _base_hm(dg)
+    seed_keys = ["edge_src", "edge_dst", "neg"]
+    time_keys = ["edge_time", "edge_time", "neg_time"]
+    hm.register_shared(
+        RecencyNeighborHook(num_nodes, [K], seed_keys, time_keys,
+                            edge_dim=edge_dim,
+                            edge_x_full=dg._storage._data.edge_x)
+    )
+    hm.register_shared(
+        RecencyNeighborHook(num_nodes, [K_tg], seed_keys, time_keys,
+                            edge_dim=edge_dim,
+                            edge_x_full=dg._storage._data.edge_x, id="tg")
+    )
+    encoder = GraphMixerEncoder(
+        time_dim=time_dim, embed_dim=embed_dim, num_tokens=K,
+        node_dim=node_x.shape[1], edge_dim=edge_dim, dropout=0.0,
+    )
+    decoder = LinkPredictor(node_dim=embed_dim, hidden_dim=embed_dim)
+    opt = optax.adam(1e-4)
+
+    # Init from one hook-produced batch (the encoder takes a DGBatch).
+    from tgm_tpu.data.loader import DGDataLoader
+
+    loader = DGDataLoader(dg, args.bsize, hook_manager=hm)
+    with hm.activate("train"):
+        b0 = next(iter(loader))
+    hm.reset_state()
+
+    key = jax.random.PRNGKey(0)
+    key, k1, k2 = jax.random.split(key, 3)
+    params = {
+        "enc": encoder.init(k1, b0, node_x),
+        "dec": decoder.init(
+            k2, jnp.zeros((1, embed_dim)), jnp.zeros((1, embed_dim))
+        ),
+    }
+    opt_state = opt.init(params)
+
+    def core(carry, batch):
+        params, opt_state = carry
+        B = batch.edge_src.shape[0]
+
+        def loss_fn(p):
+            z = encoder.apply(p["enc"], batch, node_x)
+            pos = decoder.apply(p["dec"], z[:B], z[B : 2 * B])
+            neg = decoder.apply(p["dec"], z[:B], z[2 * B : 3 * B])
+            return _bce(pos, neg, batch.edge_valid)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    epoch, hstates = scanned_hook_epoch(stream, hm, "train", dg, core)
+    return _time_scanned_epoch(args, num_edges, epoch, (params, opt_state), hstates)
+
+
+def bench_gclstm(args, data, num_nodes, num_edges) -> float:
+    """GC-LSTM through the merged snapshot schedule (daily snapshots over the
+    wiki-shaped month-long stream), the scanned DTDG path the gclstm example
+    runs by default."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tgm_tpu import DGDataLoader, DGraph, TimeDeltaDG
+    from tgm_tpu.hooks import RandomNegativeEdgeSamplerHook
+    from tgm_tpu.nn import GCLSTM, LinkPredictor
+    from tgm_tpu.train import DeviceEdgeStream, DeviceEventStream
+    from tgm_tpu.train.snapshot import (
+        merged_snapshot_schedule,
+        plan_edge_max_times,
+        scanned_snapshot_epoch,
+    )
+
+    embed_dim, ticks = 64, args.snapshot_ticks
+    node_x = _node_x(num_nodes, NODE_DIM["gclstm"])
+    coarse = TimeDeltaDG("s", ticks)
+    snap_data = data.discretize(coarse)
+    train_dg = DGraph(data)
+    dst = train_dg.edge_dst
+    neg_hook = RandomNegativeEdgeSamplerHook(low=int(dst.min()), high=int(dst.max()))
+    safe = lambda ids: jnp.clip(ids, 0, num_nodes - 1)
+
+    encoder = GCLSTM(in_channels=node_x.shape[1], out_channels=embed_dim, K=1)
+    decoder = LinkPredictor(node_dim=embed_dim, hidden_dim=embed_dim)
+    opt = optax.adam(1e-3)
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    e4 = jnp.zeros(4, jnp.int32)
+    params = {
+        "enc": encoder.init(k1, node_x, e4, e4),
+        "dec": decoder.init(
+            k2, jnp.zeros((1, embed_dim)), jnp.zeros((1, embed_dim))
+        ),
+    }
+    opt_state = opt.init(params)
+
+    def snapshot_core(carry, sbatch):
+        params, opt_state, (H, C), z, hstate = carry
+        H2, C2 = encoder.apply(
+            params["enc"], node_x, sbatch.edge_src, sbatch.edge_dst,
+            None, H, C, sbatch.edge_valid,
+        )
+        sg = jax.lax.stop_gradient
+        return (params, opt_state, (sg(H2), sg(C2)), sg(jax.nn.relu(H2)), hstate)
+
+    def edge_core(carry, batch, idx):
+        params, opt_state, rec, z, hstate = carry
+        hstate, batch = neg_hook.apply(hstate, batch)
+
+        def loss_fn(p):
+            pos = decoder.apply(
+                p["dec"], z[safe(batch.edge_src)], z[safe(batch.edge_dst)]
+            )
+            neg = decoder.apply(
+                p["dec"], z[safe(batch.edge_src)], z[safe(batch.neg)]
+            )
+            return _bce(pos, neg, batch.edge_valid)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, rec, z, hstate), (loss, jnp.float32(1.0))
+
+    snap_stream = DeviceEventStream(
+        DGDataLoader(DGraph(snap_data), ticks, batch_unit="s",
+                     materialize_features=False),
+        include_features=False,
+    )
+    edge_stream = DeviceEdgeStream(train_dg, args.bsize, include_features=False)
+    snap_max = plan_edge_max_times(
+        snap_stream._plan, snap_data.time[snap_data.edge_mask]
+    )
+    _, _, t_host = train_dg._storage.get_edges(train_dg._slice)
+    E, B = len(t_host), args.bsize
+    ends = np.minimum((np.arange(edge_stream.num_batches) + 1) * B, E) - 1
+    batch_max = np.asarray(t_host)[ends]
+    kinds, idxs = merged_snapshot_schedule(snap_max, batch_max, ticks,
+                                           apply_first=True)
+    epoch = scanned_snapshot_epoch(
+        kinds, idxs, snap_stream.batch_at, edge_stream.batch_at,
+        snapshot_core, edge_core, donate_carry=False,
+    )
+
+    def fresh():
+        z0 = jnp.zeros((num_nodes, embed_dim))
+        return (
+            params, opt_state,
+            (jnp.array(z0, copy=True), jnp.array(z0, copy=True)),
+            jnp.array(z0, copy=True), neg_hook.init_state(train_dg),
+        )
+
+    carry = fresh()
+    carry, losses, counts = epoch(carry)  # compile + warm
+    jax.block_until_ready(losses)
+    first = float(np.asarray(losses)[np.asarray(counts) > 0][0])
+    assert np.isfinite(first), f"non-finite loss: {first}"
+    times = []
+    for _ in range(max(args.epochs, 1)):
+        t0 = time.perf_counter()
+        carry, losses, counts = epoch(carry)
+        jax.block_until_ready(losses)
+        times.append(time.perf_counter() - t0)
+    return num_edges / min(times)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="all",
+                   choices=["all"] + ZOO)
+    p.add_argument("--smoke", action="store_true", help="tiny shapes, fast check")
+    p.add_argument("--bsize", type=int, default=200)
+    p.add_argument("--epochs", type=int, default=4,
+                   help="timed epochs after warmup (min reported)")
+    p.add_argument("--snapshot-ticks", type=int, default=86_400,
+                   help="gclstm snapshot width in stream seconds (86400 = "
+                   "daily over wiki's ~31-day span)")
+    args = p.parse_args()
+
+    import os
+
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from tgm_tpu.core.graph import DGraph
+    from tgm_tpu.train import DeviceEdgeStream
+
+    if args.smoke:
+        num_nodes, num_edges, edge_dim = 500, 4_000, 32
+    else:
+        num_nodes, num_edges, edge_dim = WIKI_NODES, WIKI_EDGES, WIKI_EDGE_DIM
+
+    data = build_stream(num_nodes, num_edges, edge_dim)
+    models = ZOO if args.model == "all" else [args.model]
+    for model in models:
+        if model == "gclstm":
+            ticks = args.snapshot_ticks if not args.smoke else 300
+            sub = argparse.Namespace(**{**vars(args), "snapshot_ticks": ticks})
+            eps = bench_gclstm(sub, data, num_nodes, num_edges)
+            execution = "scanned_snapshot_schedule"
+        else:
+            dg = DGraph(data)
+            stream = DeviceEdgeStream(dg, args.bsize)
+            fn = {
+                "tpnet": bench_tpnet,
+                "ctan": bench_ctan,
+                "tncn": bench_tncn,
+                "graphmixer": bench_graphmixer,
+            }[model]
+            eps = fn(args, dg, stream, num_nodes, num_edges, edge_dim)
+            execution = "scanned_hook_api"
+        out = {
+            "metric": f"{model}_train_edges_per_sec_tgbl_wiki_shape",
+            "value": round(eps, 1),
+            "unit": "edges/s",
+            "execution": execution,
+            "vs_baseline": round(eps / BASELINE_CUDA_ESTIMATE_EDGES_PER_SEC, 3),
+            "baseline_is": "tgm_cuda_estimate_15k",
+        }
+        base = zoo_cpu_baseline(model, num_edges, args.bsize)
+        if base is not None:
+            out["vs_reference_cpu_measured"] = round(eps / base, 3)
+            out["reference_cpu_edges_per_sec"] = round(base, 1)
+        print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
