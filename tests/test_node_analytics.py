@@ -159,8 +159,11 @@ def test_reset_state(dg):
     h.reset_state()
     assert h.state is None
     b = run_full_batch(dg, h)
-    # After reset the full batch is novel again.
-    assert float(b.edge_stats["edge_novelty"]) == 1.0
+    # After reset the batch's DISTINCT pairs are novel again: 4 new pairs
+    # over 5 edges (0->1 repeats within the batch; the reference's seen-set
+    # loop counts a within-batch repeat once — node_analytics.py:202-207).
+    assert int(b.edge_stats["new_edge_count"]) == 4
+    assert float(b.edge_stats["edge_novelty"]) == pytest.approx(4 / 5)
 
 
 def test_padded_rows_ignored(dg):
@@ -182,3 +185,55 @@ def test_hook_with_custom_id(dg):
     b = run_full_batch(dg, h)
     assert b.has("node_stats_tracker")
     assert not b.has("node_stats")
+
+
+def test_exact_novelty_matches_python_set():
+    """Auto-exact mode (small pair space) reproduces the reference's Python
+    seen-set exactly on a random stream, and reports itself exact."""
+    import jax.numpy as jnp
+
+    from tgm_tpu.core.batch import DGBatch
+
+    N = 50
+    h = NodeAnalyticsHook(tracked_nodes=[0], num_nodes=N)
+    assert h._exact
+    state = h.init_state(None)
+    rng = np.random.default_rng(0)
+    seen = set()
+    for step in range(6):
+        B = 32
+        src = rng.integers(0, N, B).astype(np.int32)
+        dst = rng.integers(0, N, B).astype(np.int32)
+        t = np.sort(rng.integers(step * 100, step * 100 + 99, B)).astype(np.int32)
+        batch = DGBatch(
+            edge_src=jnp.asarray(src), edge_dst=jnp.asarray(dst),
+            edge_time=jnp.asarray(t), edge_valid=jnp.ones(B, bool),
+        )
+        state, batch = h.apply(state, batch)
+        expect_new = 0
+        for s, d in zip(src.tolist(), dst.tolist()):
+            if (s, d) not in seen:
+                expect_new += 1
+                seen.add((s, d))
+        assert int(batch.edge_stats["new_edge_count"]) == expect_new, step
+        assert bool(batch.edge_stats["novelty_is_exact"])
+
+
+def test_hashed_novelty_flagged_approximate():
+    h = NodeAnalyticsHook(tracked_nodes=[0], num_nodes=50, exact_edges=False,
+                          edge_hash_bits=8)
+    assert not h._exact
+    state = h.init_state(None)
+    import jax.numpy as jnp
+
+    from tgm_tpu.core.batch import DGBatch
+
+    batch = DGBatch(
+        edge_src=jnp.asarray([1, 2], jnp.int32),
+        edge_dst=jnp.asarray([3, 4], jnp.int32),
+        edge_time=jnp.asarray([1, 2], jnp.int32),
+        edge_valid=jnp.ones(2, bool),
+    )
+    state, batch = h.apply(state, batch)
+    assert not bool(batch.edge_stats["novelty_is_exact"])
+    assert 0.0 < float(batch.edge_stats["seen_bitmap_load"]) <= 2 / 256

@@ -192,3 +192,38 @@ def test_tgn_memory_mean_aggregator_parity(ref):
             np.asarray(state.mem[:N]), t2n(ref_mem.memory), atol=3e-5,
             err_msg=f"mean stored step {step}",
         )
+
+
+def test_mean_aggregator_overflow_counter():
+    """The mean aggregator is exact up to mean_slots messages/node/role/batch;
+    beyond that it keeps the last K and COUNTS the drops so the divergence
+    from the reference's unbounded per-batch mean is detectable at runtime."""
+    import jax.numpy as jnp
+
+    from tgm_tpu.nn.encoder.tgn import tgn_mean_init_state, tgn_mean_store_messages
+
+    N, R, K = 5, 2, 2
+    state = tgn_mean_init_state(N, 4, R, mean_slots=K)
+    ones = jnp.ones(3, bool)
+    raw = jnp.zeros((3, R))
+
+    # Within capacity: every node sees <= K messages per role -> exact.
+    state = tgn_mean_store_messages(
+        state, jnp.asarray([0, 0, 1], jnp.int32), jnp.asarray([2, 3, 4], jnp.int32),
+        jnp.asarray([1, 2, 3], jnp.int32), raw, ones,
+    )
+    assert int(state.overflow) == 0
+
+    # Node 0 emits 3 src-role messages with K=2 -> exactly one drop.
+    state = tgn_mean_store_messages(
+        state, jnp.asarray([0, 0, 0], jnp.int32), jnp.asarray([1, 2, 3], jnp.int32),
+        jnp.asarray([4, 5, 6], jnp.int32), raw, ones,
+    )
+    assert int(state.overflow) == 1
+
+    # Invalid (masked) events never count.
+    state = tgn_mean_store_messages(
+        state, jnp.asarray([2, 2, 2], jnp.int32), jnp.asarray([0, 1, 3], jnp.int32),
+        jnp.asarray([7, 8, 9], jnp.int32), raw, jnp.zeros(3, bool),
+    )
+    assert int(state.overflow) == 1

@@ -9,10 +9,13 @@ activity / new-neighbor / lifetime stats plus batch novelty & density).
 
 TPU-first: the reference keeps Python dict/set state and loops over edges;
 here all state is fixed-shape arrays — first/last-seen and appearance counters
-are ``(N+1,)`` vectors, and the seen-edge set is a hashed bitmap (Bloom-style,
-single hash), which makes edge-novelty *approximate* (collisions undercount
-new edges) but keeps the hook jit/scan-safe. Stats are emitted as dicts of
-scalars/arrays, like the reference.
+are ``(N+1,)`` vectors, and the seen-edge set is a bitmap: EXACT pair-keyed
+whenever the (N+1)^2 pair space fits 8 MB (auto; matches the reference's
+Python seen-set bit for bit), hashed (Bloom-style, single hash — collisions
+undercount new edges) on larger graphs, with the approximation surfaced via
+``edge_stats['novelty_is_exact']`` and the bitmap load factor. Everything
+stays jit/scan-safe; stats are emitted as dicts of scalars/arrays, like the
+reference.
 """
 
 from __future__ import annotations
@@ -137,11 +140,16 @@ class NodeAnalyticsHook(StatefulHook):
     _cls_requires = {"edge_src", "edge_dst", "edge_time"}
     _cls_produces = {"node_stats", "node_macro_stats", "edge_stats"}
 
+    #: Auto-exact threshold: pair bitmaps up to this many bits (8 MB of bool)
+    #: switch edge novelty from hashed-approximate to exact pair keying.
+    EXACT_BITMAP_MAX_BITS = 1 << 26
+
     def __init__(
         self,
         tracked_nodes,
         num_nodes: int,
         edge_hash_bits: int = 20,
+        exact_edges: Optional[bool] = None,
         id: Optional[str] = None,
     ) -> None:
         super().__init__(id=id)
@@ -149,7 +157,20 @@ class NodeAnalyticsHook(StatefulHook):
             raise ValueError("num_nodes must be positive")
         self.tracked_nodes = jnp.asarray(np.unique(np.asarray(tracked_nodes)), dtype=jnp.int32)
         self.num_nodes = num_nodes
-        self._hash_size = 1 << edge_hash_bits
+        # Exact novelty keys the bitmap by the (src, dst) pair id — collision
+        # free, matching the reference's Python seen-set exactly — whenever
+        # the (num_nodes+1)^2 pair space fits the budget (auto) or the caller
+        # forces it; the hashed single-hash bitmap (approximate: collisions
+        # undercount new edges) remains the large-graph fallback.
+        pair_space = (num_nodes + 1) * (num_nodes + 1)
+        if exact_edges is None:
+            exact_edges = pair_space <= self.EXACT_BITMAP_MAX_BITS
+        if exact_edges and pair_space > jnp.iinfo(jnp.int32).max:
+            raise ValueError(
+                f"exact_edges needs (num_nodes+1)^2 <= int32 max; got {pair_space}"
+            )
+        self._exact = bool(exact_edges)
+        self._hash_size = pair_space if self._exact else (1 << edge_hash_bits)
         self.state: Any = None
 
     def init_state(self, dg: Optional[DGraph] = None) -> Any:
@@ -165,6 +186,9 @@ class NodeAnalyticsHook(StatefulHook):
         self.state = None
 
     def _edge_hash(self, src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
+        if self._exact:
+            # Collision-free pair id (validated <= int32 max in __init__).
+            return src * jnp.int32(self.num_nodes + 1) + dst
         # Deterministic mix of the pair into the bitmap index space (Knuth
         # multiplicative constants expressed as wrapped int32 literals).
         h = src * jnp.int32(-1640531527) + dst * jnp.int32(40503) + jnp.int32(-2128831035)
@@ -195,11 +219,29 @@ class NodeAnalyticsHook(StatefulHook):
         last_seen = jnp.maximum(last_seen, ls_batch)
         appearances = state["appearances"] + appeared.astype(jnp.int32)
 
-        # Edge novelty via the hashed seen-edge bitmap.
-        hashes = self._edge_hash(src, dst)
-        is_new_edge = (~state["seen_edges"][hashes]) & valid
-        seen_edges = state["seen_edges"].at[jnp.where(valid, hashes, 0)].set(True)
-        new_edge_count = jnp.sum(is_new_edge.astype(jnp.int32))
+        # Edge novelty via the seen-edge bitmap. A pair repeated WITHIN the
+        # batch is new once, like the reference's per-edge Python loop that
+        # inserts into its seen-set as it scans — count distinct unseen keys
+        # (sorted run starts), not per-element bitmap misses.
+        keys = self._edge_hash(src, dst)
+        sentinel = jnp.iinfo(jnp.int32).max
+        k_sorted = jnp.sort(jnp.where(valid, keys, sentinel))
+        run_start = jnp.concatenate(
+            [jnp.ones((1,), bool), k_sorted[1:] != k_sorted[:-1]]
+        )
+        k_safe = jnp.clip(k_sorted, 0, self._hash_size - 1)
+        new_edge_count = jnp.sum(
+            (
+                run_start
+                & (k_sorted != sentinel)
+                & ~state["seen_edges"][k_safe]
+            ).astype(jnp.int32)
+        )
+        # Out-of-range index for invalid edges drops the write (the old
+        # `where(valid, h, 0)` spuriously marked slot 0 as seen).
+        seen_edges = state["seen_edges"].at[
+            jnp.where(valid, keys, self._hash_size)
+        ].set(True, mode="drop")
         n_edges = jnp.sum(valid.astype(jnp.int32))
         edge_novelty = new_edge_count / jnp.maximum(n_edges, 1)
 
@@ -226,6 +268,13 @@ class NodeAnalyticsHook(StatefulHook):
             "edge_novelty": edge_novelty,
             "edge_density": density,
             "new_edge_count": new_edge_count,
+            # Approximation observability: exact pair keying has no
+            # collisions; in hashed mode the bitmap load factor bounds the
+            # per-edge undercount probability, so divergence from the
+            # reference's exact seen-set is detectable, not silent.
+            "novelty_is_exact": jnp.asarray(self._exact),
+            "seen_bitmap_load": jnp.sum(seen_edges.astype(jnp.int32))
+            / jnp.float32(self._hash_size),
         }
 
         self.add_batch_attribute(batch, "node_stats", node_stats)

@@ -243,6 +243,7 @@ class TGNMeanMemoryState(NamedTuple):
     d_wp: jnp.ndarray
     d_latest: jnp.ndarray
     counter: jnp.ndarray  # () global batch counter
+    overflow: jnp.ndarray  # () cumulative messages dropped by slot truncation
 
 
 def tgn_mean_init_state(
@@ -267,7 +268,7 @@ def tgn_mean_init_state(
         mem=z((n, memory_dim)), last_update=z((n,), jnp.int32),
         s_other=s[0], s_t=s[1], s_raw=s[2], s_stamp=s[3], s_wp=s[4], s_latest=s[5],
         d_other=d[0], d_t=d[1], d_raw=d[2], d_stamp=d[3], d_wp=d[4], d_latest=d[5],
-        counter=z((), jnp.int32),
+        counter=z((), jnp.int32), overflow=z((), jnp.int32),
     )
 
 
@@ -304,6 +305,7 @@ def tgn_mean_store_messages(
         cnt = jax.ops.segment_sum(jnp.ones_like(s_nodes), s_nodes, num_segments=n + 2)
         cnt_elem = cnt[s_nodes]
         keep = (pos >= cnt_elem - K) & (s_nodes < n)
+        dropped = jnp.sum(((pos < cnt_elem - K) & (s_nodes < n)).astype(jnp.int32))
         offset = pos - jnp.maximum(cnt_elem - K, 0)
         w_rows = jnp.where(keep, s_nodes, n)
         w_cols = jnp.where(keep, (wp[jnp.clip(s_nodes, 0, n)] + offset) % K, 0)
@@ -323,7 +325,7 @@ def tgn_mean_store_messages(
         wp = ((wp + bump) % K).at[n].set(0)
         touched = bump > 0
         latest = jnp.where(touched, counter, latest).at[n].set(0)
-        return o_buf, t_buf, r_buf, st_buf, wp, latest
+        return o_buf, t_buf, r_buf, st_buf, wp, latest, dropped
 
     s = write(src, dst, state.s_other, state.s_t, state.s_raw, state.s_stamp,
               state.s_wp, state.s_latest)
@@ -333,6 +335,11 @@ def tgn_mean_store_messages(
         s_other=s[0], s_t=s[1], s_raw=s[2], s_stamp=s[3], s_wp=s[4], s_latest=s[5],
         d_other=d[0], d_t=d[1], d_raw=d[2], d_stamp=d[3], d_wp=d[4], d_latest=d[5],
         counter=counter,
+        # Truncation detectability (the mean aggregator is exact only up to
+        # mean_slots messages/node/role/batch): callers can fetch
+        # ``state.overflow`` and warn instead of silently diverging from the
+        # reference's unbounded per-batch mean.
+        overflow=state.overflow + s[6] + d[6],
     )
 
 
