@@ -199,3 +199,38 @@ def test_recency_push_pallas_scatter_matches_jnp():
     finally:
         nb.USE_PALLAS_SCATTER = None
         sc.scatter_cells = orig
+
+
+def test_tgn_store_scatter_1d_matches_xla_path():
+    """Fused 1-D message-store kernel (interpret) vs the XLA scatter path,
+    bit-exact over random batches incl. time ties and invalid events."""
+    import tgm_tpu.nn.encoder.tgn as tgn_mod
+    from tgm_tpu.nn.encoder.tgn import tgn_init_state, tgn_store_messages
+    from tgm_tpu.ops.pallas import scatter_cells as sc
+
+    orig = sc.tgn_store_scatter_1d
+    sc.tgn_store_scatter_1d = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        rng = np.random.default_rng(0)
+        N, R, E = 300, 6, 64
+        for trial in range(4):
+            state = tgn_init_state(N, 8, R, row_multiple=128)
+            src = jnp.asarray(rng.integers(0, N, E), jnp.int32)
+            dst = jnp.asarray(rng.integers(0, N, E), jnp.int32)
+            t = jnp.asarray(np.sort(rng.integers(0, 50, E)), jnp.int32)
+            raw = jnp.asarray(rng.normal(size=(E, R)).astype(np.float32))
+            valid = jnp.asarray(rng.random(E) > 0.2)
+
+            tgn_mod.USE_PALLAS_STORE = False
+            ref = tgn_store_messages(state, src, dst, t, raw, valid)
+            tgn_mod.USE_PALLAS_STORE = True
+            got = tgn_store_messages(state, src, dst, t, raw, valid)
+            for name in ref._fields:
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(ref, name)),
+                    np.asarray(getattr(got, name)),
+                    err_msg=f"{name} trial {trial}",
+                )
+    finally:
+        sc.tgn_store_scatter_1d = orig
+        tgn_mod.USE_PALLAS_STORE = None

@@ -9,6 +9,7 @@ from tgm_tpu.parallel.temporal import (
     merge_stale_carries,
     split_spans,
     stale_parallel_epoch,
+    stale_resync_epoch,
 )
 
 
@@ -84,6 +85,46 @@ def test_stale_parallel_and_merge():
     np.testing.assert_array_equal(
         np.asarray(merged.mem_state.last_update), lu_all.max(axis=0)
     )
+
+
+def test_stale_resync_single_span_is_sequential():
+    """n_spans=1 with any round count is the exact sequential schedule up to
+    the merge's parameter 'average' over one span (identity)."""
+    pipe, stream = _setup()
+    carry0 = pipe.init_carry(jax.random.PRNGKey(0))
+
+    def plain(carry):
+        def body(c, i):
+            return pipe.train_step(c, stream.batch_at(i))
+
+        return jax.lax.scan(body, carry, jnp.arange(stream.num_batches))
+
+    _, ref_losses = jax.jit(plain)(carry0)
+    carry, round_losses = jax.jit(
+        lambda c: stale_resync_epoch(
+            pipe.train_step, stream.batch_at, c, stream.num_batches,
+            n_spans=1, num_nodes=32, resync_rounds=4,
+        )
+    )(carry0)
+    got = np.concatenate([np.asarray(r).ravel() for r in round_losses])
+    np.testing.assert_allclose(got, np.asarray(ref_losses), rtol=1e-6, atol=1e-6)
+
+
+def test_stale_resync_runs_and_merges():
+    pipe, stream = _setup()
+    carry0 = pipe.init_carry(jax.random.PRNGKey(0))
+    carry, round_losses = jax.jit(
+        lambda c: stale_resync_epoch(
+            pipe.train_step, stream.batch_at, c, stream.num_batches,
+            n_spans=2, num_nodes=32, resync_rounds=2,
+        )
+    )(carry0)
+    assert len(round_losses) == 2
+    for r in round_losses:
+        assert np.isfinite(np.asarray(r)).all()
+    for a, b in zip(jax.tree_util.tree_leaves(carry.mem_state),
+                    jax.tree_util.tree_leaves(carry0.mem_state)):
+        assert np.asarray(a).shape == np.asarray(b).shape
 
 
 def test_tgat_pipeline_scan_learns():

@@ -27,7 +27,7 @@ padded local edge list (no PyG, no dynamic shapes).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Set, Tuple
+from typing import NamedTuple, Optional, Set, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -75,6 +75,22 @@ def tgn_init_state(
     )
 
 
+USE_PALLAS_STORE: Optional[bool] = None
+
+
+def _store_kernel_enabled(n1: int) -> bool:
+    """Auto-TPU gate for the fused 1-D store-scatter kernel (needs the state
+    row count padded to a multiple of 128 — ``init_state(row_multiple=128)``)."""
+    if n1 % 128:
+        return False
+    if USE_PALLAS_STORE is not None:
+        return USE_PALLAS_STORE
+    try:
+        return jax.devices()[0].platform not in ("cpu", "gpu")
+    except Exception:  # pragma: no cover - no backend at trace time
+        return False
+
+
 def tgn_store_messages(
     state: TGNMemoryState,
     src: jnp.ndarray,
@@ -91,7 +107,7 @@ def tgn_store_messages(
     """
     n = state.mem.shape[0] - 1
 
-    def write(owner, other, store_other, store_t, store_raw, store_valid):
+    def plan(owner):
         rows = jnp.where(valid, owner, n)
         # Max time per owner in this batch.
         tmax = segment_max(t, rows, n + 1, mask=valid, initial=-1)
@@ -100,30 +116,47 @@ def tgn_store_messages(
         idx = jnp.arange(t.shape[0])
         first = -segment_max(-idx, rows, n + 1, mask=is_max, initial=-jnp.inf)
         winner = is_max & (idx == first[rows].astype(idx.dtype))
-        w_rows = jnp.where(winner, rows, n)
-        store_other = store_other.at[w_rows].set(
-            jnp.where(winner, other, store_other[w_rows]), mode="drop"
-        )
-        store_t = store_t.at[w_rows].set(jnp.where(winner, t, store_t[w_rows]), mode="drop")
+        return winner, jnp.where(winner, rows, n)
+
+    def write_rest(winner, w_rows, other, store_other, store_t, store_raw,
+                   store_valid, ints_in_kernel):
+        if not ints_in_kernel:
+            store_other = store_other.at[w_rows].set(
+                jnp.where(winner, other, store_other[w_rows]), mode="drop"
+            ).at[n].set(PADDED_NODE_ID)
+            store_t = store_t.at[w_rows].set(
+                jnp.where(winner, t, store_t[w_rows]), mode="drop"
+            ).at[n].set(0)
         store_raw = store_raw.at[w_rows].set(
             jnp.where(winner[:, None], raw_msg, store_raw[w_rows]), mode="drop"
-        )
+        ).at[n].set(0.0)
         store_valid = store_valid.at[w_rows].set(
             jnp.where(winner, True, store_valid[w_rows]), mode="drop"
-        )
-        # Dump row stays invalid.
-        return (
-            store_other.at[n].set(PADDED_NODE_ID),
-            store_t.at[n].set(0),
-            store_raw.at[n].set(0.0),
-            store_valid.at[n].set(False),
-        )
+        ).at[n].set(False)
+        return store_other, store_t, store_raw, store_valid
 
-    s_other, s_t, s_raw, s_valid = write(
-        src, dst, state.s_other, state.s_t, state.s_raw, state.s_valid
+    win_s, w_s = plan(src)
+    win_d, w_d = plan(dst)
+    use_kernel = _store_kernel_enabled(state.mem.shape[0])
+    if use_kernel:
+        # Fused RMW of the four int32 1-D stores (ops/pallas/scatter_cells.py)
+        # — four XLA element scatters serialized at ~65 ns/element become one
+        # whole-buffer VMEM round trip. The dump row (n) is a skip target in
+        # the kernel, so no reset write is needed.
+        from ...ops.pallas.scatter_cells import tgn_store_scatter_1d
+
+        s_other, s_t, d_other, d_t = tgn_store_scatter_1d(
+            state.s_other, state.s_t, state.d_other, state.d_t,
+            w_s, dst, t, w_d, src, t, last_live_row=n - 1,
+        )
+    else:
+        s_other, s_t = state.s_other, state.s_t
+        d_other, d_t = state.d_other, state.d_t
+    s_other, s_t, s_raw, s_valid = write_rest(
+        win_s, w_s, dst, s_other, s_t, state.s_raw, state.s_valid, use_kernel
     )
-    d_other, d_t, d_raw, d_valid = write(
-        dst, src, state.d_other, state.d_t, state.d_raw, state.d_valid
+    d_other, d_t, d_raw, d_valid = write_rest(
+        win_d, w_d, src, d_other, d_t, state.d_raw, state.d_valid, use_kernel
     )
     return state._replace(
         s_other=s_other, s_t=s_t, s_raw=s_raw, s_valid=s_valid,

@@ -65,6 +65,42 @@ def chain_epoch(step_fn, batch_at, carry, num_batches: int, n_spans: int):
     return carry, jnp.concatenate(losses) if losses else jnp.zeros((0,))
 
 
+def _stale_span_range(step_fn, batch_at, carry, start: int, end: int,
+                      n_spans: int, num_batches: int,
+                      carry_stacked: bool = False):
+    """Run batches [start, end) as ``n_spans`` parallel spans from ``carry``
+    (one shared carry, or per-span carries when ``carry_stacked``).
+
+    Returns (per-span final carries stacked on axis 0, losses (spans, L)).
+    """
+    spans = [(start + s, start + e) for s, e in split_spans(end - start, n_spans)]
+    span_len = max(e - s for s, e in spans)
+    # Spans are padded to equal length, but padded iterations are SKIPPED via
+    # lax.cond (carry passes through unchanged, loss slot = 0) — no repeated
+    # batches ever execute, so training statistics are unaffected. Callers
+    # averaging the loss array should mask the zero slots of shorter spans.
+    starts = jnp.asarray([s for s, _ in spans])
+    lens = jnp.asarray([e - s for s, e in spans])
+
+    def run_span(s0, length, c0):
+        def body(c, j):
+            i = jnp.minimum(s0 + j, num_batches - 1)
+
+            def do(c):
+                return step_fn(c, batch_at(i))
+
+            def skip(c):
+                return c, jnp.float32(0)
+
+            return jax.lax.cond(j < length, do, skip, c)
+
+        return jax.lax.scan(body, c0, jnp.arange(span_len))
+
+    return jax.vmap(run_span, in_axes=(0, 0, 0 if carry_stacked else None))(
+        starts, lens, carry
+    )
+
+
 def stale_parallel_epoch(
     step_fn,
     batch_at,
@@ -78,30 +114,67 @@ def stale_parallel_epoch(
     Returns (per-span final carries stacked on axis 0, losses (spans, L)).
     Use :func:`merge_stale_carries` to collapse the span axis.
     """
-    spans = split_spans(num_batches, n_spans)
-    span_len = max(e - s for s, e in spans)
-    # Spans are padded to equal length, but padded iterations are SKIPPED via
-    # lax.cond (carry passes through unchanged, loss slot = 0) — no repeated
-    # batches ever execute, so training statistics are unaffected. Callers
-    # averaging the loss array should mask the zero slots of shorter spans.
-    starts = jnp.asarray([s for s, _ in spans])
-    lens = jnp.asarray([e - s for s, e in spans])
+    return _stale_span_range(step_fn, batch_at, carry, 0, num_batches,
+                             n_spans, num_batches)
 
-    def run_span(start, length):
-        def body(c, j):
-            i = jnp.minimum(start + j, num_batches - 1)
 
-            def do(c):
-                return step_fn(c, batch_at(i))
+def _broadcast_state(tree, n_spans: int):
+    return jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (n_spans,) + a.shape), tree
+    )
 
-            def skip(c):
-                return c, jnp.float32(0)
 
-            return jax.lax.cond(j < length, do, skip, c)
+def stale_resync_epoch(
+    step_fn,
+    batch_at,
+    carry: TGNCarry,
+    num_batches: int,
+    n_spans: int,
+    num_nodes: int,
+    resync_rounds: int,
+    merge_params_each_round: bool = True,
+):
+    """Bounded staleness with periodic resync: the epoch runs as
+    ``resync_rounds`` rounds; each round executes its batch range as
+    ``n_spans`` parallel spans from the round-start state, then merges
+    owner-wise (:func:`merge_stale_carries`). The staleness window shrinks
+    from ``num_batches / n_spans`` (one merge per epoch) to
+    ``num_batches / (resync_rounds * n_spans)`` at the cost of
+    ``resync_rounds`` cheap merges (argmax + row gathers + parameter mean) —
+    on a mesh each merge is one all-reduce-sized collective, so wall-clock
+    parallelism across spans is preserved.
 
-        return jax.lax.scan(body, carry, jnp.arange(span_len))
+    ``merge_params_each_round=False`` resyncs only the carried STATE (memory
+    + recency buffers) each round; parameters/optimizer moments stay
+    per-span (local-SGD flavored) and are averaged once at the epoch end —
+    the ablation separating state-staleness cost from the cost of averaging
+    diverged Adam trajectories mid-epoch.
 
-    return jax.vmap(run_span)(starts, lens)
+    Returns (final carry, list of per-round (spans, L) loss arrays). With
+    ``resync_rounds == 1`` this is exactly ``stale_parallel_epoch`` + one
+    merge; as ``resync_rounds -> num_batches / n_spans`` it approaches the
+    exact sequential schedule.
+    """
+    all_losses = []
+    stacked = None
+    merged = carry
+    for rs, re in split_spans(num_batches, resync_rounds):
+        if re <= rs:
+            continue
+        carries, losses = _stale_span_range(
+            step_fn, batch_at, stacked if stacked is not None else merged,
+            rs, re, n_spans, num_batches, carry_stacked=stacked is not None,
+        )
+        merged = merge_stale_carries(carries, num_nodes)
+        if not merge_params_each_round:
+            # Broadcast the merged state into every span; keep per-span
+            # params/opt/rng.
+            stacked = carries._replace(
+                mem_state=_broadcast_state(merged.mem_state, n_spans),
+                rec_state=_broadcast_state(merged.rec_state, n_spans),
+            )
+        all_losses.append(losses)
+    return merged, all_losses
 
 
 def merge_stale_carries(carries: TGNCarry, num_nodes: int) -> TGNCarry:
