@@ -344,6 +344,9 @@ def main() -> None:
     p.add_argument("--attn-bf16", choices=["auto", "on", "off"], default="auto",
                    help="bf16 K/V attention path, f32 accumulation "
                         "(all models; auto: on for TPU)")
+    p.add_argument("--eval-unroll", type=int, default=1,
+                   help="lax.scan unroll for the eval epoch (scoring of "
+                   "consecutive batches can overlap; state updates chain)")
     p.add_argument(
         "--with-eval", action="store_true",
         help="also time a scanned candidate-list eval epoch (tgn only; adds "
@@ -502,7 +505,10 @@ def main() -> None:
                 rows = lax.dynamic_slice(cands, (i * B, 0), (B, Q))
                 return pipe.eval_step(c, stream.batch_at(i), rows)
 
-            return lax.scan(body, c, jnp.arange(nb))
+            # unroll > 1 lets XLA overlap consecutive batches' candidate
+            # scoring: batch i+1's state depends only on batch i's (cheap)
+            # state update, never on its (expensive) scoring chain.
+            return lax.scan(body, c, jnp.arange(nb), unroll=args.eval_unroll)
 
         eval_jit = jax.jit(eval_epoch, donate_argnums=())
         carry2 = pipe.flush_all(carry)

@@ -216,26 +216,26 @@ class DyGFormer(nn.Module):
 
         s_cooc, d_cooc = self.co_occurrence_encoder(s_n, d_n)
 
-        # Project each channel ONCE over the stacked [src; dst] batch (2B, …)
-        # instead of per side — halves the matmul dispatch count; the per-side
-        # form is mathematically identical (same weights, split batch).
-        def time_feats2(nbrs, ntime):
-            seed_t = jnp.concatenate([edge_time, edge_time])[:, None]
-            f = self.time_encoder((seed_t - ntime).astype(jnp.float32))
+        # Per-side channel projections: batching both sides through one
+        # stacked (2B, …) call measured SLOWER on v5e (36.4k vs 45.9k
+        # edges/s) — the four doubled concats (incl. the (2B, L, De) feature
+        # array) relayout-copy more than the halved dispatch count saves,
+        # the same failure mode as the measured-negative pos/neg call fusion
+        # (docs/performance.md).
+        def time_feats(nbrs, ntime):
+            f = self.time_encoder((edge_time[:, None] - ntime).astype(jnp.float32))
             return jnp.where((nbrs == PADDED_NODE_ID)[..., None], 0.0, f)
 
-        nbrs2 = jnp.concatenate([s_n, d_n], axis=0)  # (2B, L)
-        ntime2 = jnp.concatenate([s_t, d_t], axis=0)
-        nfeat2 = jnp.concatenate([s_e, d_e], axis=0)
-        cooc2 = jnp.concatenate([s_cooc, d_cooc], axis=0)
-        ch2 = (
-            self.proj_node(self._patches(node_feats(nbrs2))),
-            self.proj_edge(self._patches(nfeat2)),
-            self.proj_time(self._patches(time_feats2(nbrs2, ntime2))),
-            self.proj_cooc(self._patches(cooc2)),
-        )
-        s_ch = tuple(c[:B] for c in ch2)
-        d_ch = tuple(c[B:] for c in ch2)
+        def channels(nbrs, ntime, nfeat, cooc):
+            return (
+                self.proj_node(self._patches(node_feats(nbrs))),
+                self.proj_edge(self._patches(nfeat)),
+                self.proj_time(self._patches(time_feats(nbrs, ntime))),
+                self.proj_cooc(self._patches(cooc)),
+            )
+
+        s_ch = channels(s_n, s_t, s_e, s_cooc)
+        d_ch = channels(d_n, d_t, d_e, d_cooc)
 
         P = self.num_patches
         joined = [jnp.concatenate([s, d], axis=1) for s, d in zip(s_ch, d_ch)]

@@ -110,6 +110,17 @@ class TGNPipeline(StaticTablesMixin):
         self.feat_bf16 = feat_bf16
         if edge_x_full is not None and feat_bf16:
             edge_x_full = jnp.asarray(edge_x_full, jnp.bfloat16)
+        elif edge_x_full is not None and rowwise:
+            from ..util.precision import resolve_bf16
+
+            if resolve_bf16(attn_bf16):
+                # The recency-gathered features feed ONLY the bf16 K/V
+                # attention path (raw messages come from the stream's own
+                # edge_x), so bf16(gather(x)) == gather(bf16(x)) bit-exactly
+                # — storing the table bf16 halves the dominant eval gather
+                # (44000 rows/batch at Q=20, profiled 38% of the eval step)
+                # with identical outputs.
+                edge_x_full = jnp.asarray(edge_x_full, jnp.bfloat16)
         self.edge_x_full = edge_x_full
         # Packed memory-state layout (measured NEGATIVE on v5e — default off):
         # packing cut the staging gathers from ~12 to 5 but the column-sliced
