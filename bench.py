@@ -144,7 +144,9 @@ def run_hook_bench(args, dg, stream, num_nodes, num_edges, edge_dim,
 
     key = jax.random.PRNGKey(0)
     key, k1, k2, k3 = jax.random.split(key, 4)
-    mem_state = memory.init_state()
+    # --store-kernel: 128-aligned state rows activate the fused Pallas
+    # message-store scatter (ops/pallas/scatter_cells.tgn_store_scatter_1d).
+    mem_state = memory.init_state(row_multiple=128 if args.store_kernel else 1)
     params = {
         "mem": memory.init(k1, mem_state, jnp.zeros(8, jnp.int32)),
         "enc": encoder.init(
@@ -344,6 +346,9 @@ def main() -> None:
     p.add_argument("--attn-bf16", choices=["auto", "on", "off"], default="auto",
                    help="bf16 K/V attention path, f32 accumulation "
                         "(all models; auto: on for TPU)")
+    p.add_argument("--store-kernel", action="store_true",
+                   help="128-pad memory state rows so the fused Pallas "
+                   "1-D message-store scatter activates (hook path)")
     p.add_argument("--eval-unroll", type=int, default=1,
                    help="lax.scan unroll for the eval epoch (scoring of "
                    "consecutive batches can overlap; state updates chain)")
@@ -500,17 +505,24 @@ def main() -> None:
             int(dg.edge_dst.min()), int(dg.edge_dst.max()) + 1, dtype=jnp.int32,
         )
 
-        def eval_epoch(c):
-            def body(c, i):
-                rows = lax.dynamic_slice(cands, (i * B, 0), (B, Q))
-                return pipe.eval_step(c, stream.batch_at(i), rows)
+        def eval_epoch(c, tbl):
+            # Feature tables enter as PARAMETERS here (not closure
+            # constants): the closed-over-constant eval program re-copied
+            # the full 54 MB table between memory spaces every iteration
+            # (profiled 254 us/batch of copy-start on the bf16 table).
+            with pipe.bind_tables(tbl):
+                def body(c, i):
+                    rows = lax.dynamic_slice(cands, (i * B, 0), (B, Q))
+                    return pipe.eval_step(c, stream.batch_at(i), rows)
 
-            # unroll > 1 lets XLA overlap consecutive batches' candidate
-            # scoring: batch i+1's state depends only on batch i's (cheap)
-            # state update, never on its (expensive) scoring chain.
-            return lax.scan(body, c, jnp.arange(nb), unroll=args.eval_unroll)
+                # unroll > 1 lets XLA overlap consecutive batches' candidate
+                # scoring: batch i+1's state depends only on batch i's
+                # (cheap) state update, never on its (expensive) scoring.
+                return lax.scan(body, c, jnp.arange(nb),
+                                unroll=args.eval_unroll)
 
-        eval_jit = jax.jit(eval_epoch, donate_argnums=())
+        eval_jit0 = jax.jit(eval_epoch, donate_argnums=())
+        eval_jit = lambda c: eval_jit0(c, pipe.tables)
         carry2 = pipe.flush_all(carry)
         carry2, (s, cc) = eval_jit(carry2)  # compile + warm
         jax.block_until_ready(s)

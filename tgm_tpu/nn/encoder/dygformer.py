@@ -16,7 +16,6 @@ from __future__ import annotations
 
 from typing import Any, Set, Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -56,44 +55,6 @@ class NeighborCooccurrenceEncoder(nn.Module):
         return src_feat, dst_feat
 
 
-class FusedSelfAttention(nn.Module):
-    """Self-attention with one fused QKV matmul and explicit einsum core.
-
-    Same math as ``nn.MultiHeadDotProductAttention`` (torch
-    ``nn.MultiheadAttention`` in the reference, dygformer.py:404-431) but
-    shaped for the MXU: q/k/v come out of ONE (D, 3D) projection instead of
-    three DenseGenerals, the score/value dots run on ``dtype`` (bf16)
-    operands with f32 accumulation, and the softmax stays f32.
-    """
-
-    dim: int
-    num_heads: int
-    dropout: float = 0.1
-    dtype: Any = None
-
-    @nn.compact
-    def __call__(self, h: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        B, S, D = h.shape
-        H = self.num_heads
-        dh = D // H
-        qkv = nn.Dense(3 * D, dtype=self.dtype, name="qkv")(h)  # (B, S, 3D)
-        q = qkv[..., :D].reshape(B, S, H, dh)
-        k = qkv[..., D : 2 * D].reshape(B, S, H, dh)
-        v = qkv[..., 2 * D :].reshape(B, S, H, dh)
-        logits = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) * (dh**-0.5)
-        a = jax.nn.softmax(logits, axis=-1)
-        a = nn.Dropout(self.dropout)(a, deterministic=deterministic)
-        out = jnp.einsum(
-            "bhqk,bkhd->bqhd",
-            a.astype(qkv.dtype),
-            v,
-            preferred_element_type=jnp.float32,
-        ).reshape(B, S, D)
-        return nn.Dense(D, dtype=self.dtype, name="out")(out)
-
-
 class TransformerEncoder(nn.Module):
     attention_dim: int
     num_heads: int
@@ -104,12 +65,12 @@ class TransformerEncoder(nn.Module):
     def __call__(self, inputs: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         # LayerNorms stay f32 (stat stability); matmuls run in ``dtype``.
         h = nn.LayerNorm(epsilon=1e-5)(inputs)
-        attn = FusedSelfAttention(
-            dim=self.attention_dim,
+        attn = nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads,
-            dropout=self.dropout,
+            qkv_features=self.attention_dim,
+            dropout_rate=self.dropout,
             dtype=self.dtype,
-        )(h, deterministic=deterministic)
+        )(h, h, deterministic=deterministic)
         out = inputs + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
 
         h = nn.LayerNorm(epsilon=1e-5)(out)

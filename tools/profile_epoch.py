@@ -243,6 +243,47 @@ def run_and_trace(args) -> str:
             jax.block_until_ready(losses)
         return args.trace_dir
 
+    if args.model == "tgn-eval":
+        # The metric-bearing path: scanned candidate-list eval epoch exactly
+        # as bench.py --with-eval builds it (Q=20, TGB-style masked rank).
+        import time
+
+        import jax.numpy as jnp
+        from jax import lax
+
+        pipe = TGNPipeline(
+            num_nodes=nn_, edge_dim=ed, memory_dim=100, embed_dim=100,
+            time_dim=100, num_nbrs=10, lr=1e-4,
+            neg_low=int(dg.edge_dst.min()), neg_high=int(dg.edge_dst.max()),
+            edge_x_full=stream.edge_x,
+        )
+        carry = pipe.init_carry(jax.random.PRNGKey(0))
+        Q, B, nb = 20, args.bsize, stream.num_batches
+        cands = jax.random.randint(
+            jax.random.PRNGKey(1), (nb * B, Q),
+            int(dg.edge_dst.min()), int(dg.edge_dst.max()) + 1, dtype=jnp.int32)
+
+        def eval_epoch(c):
+            def body(c, i):
+                rows = lax.dynamic_slice(cands, (i * B, 0), (B, Q))
+                return pipe.eval_step(c, stream.batch_at(i), rows)
+
+            return lax.scan(body, c, jnp.arange(nb))
+
+        eval_jit = jax.jit(eval_epoch, donate_argnums=())
+        carry = pipe.flush_all(carry)
+        carry, (sm, cc) = eval_jit(carry)
+        jax.block_until_ready(sm)
+        t0 = time.perf_counter()
+        carry, (sm, cc) = eval_jit(carry)
+        jax.block_until_ready(sm)
+        dt = time.perf_counter() - t0
+        print(f"eval epoch (untraced): {dt*1e3:.1f} ms -> {ne/dt:.0f} edges/s")
+        with jax.profiler.trace(args.trace_dir):
+            carry, (sm, cc) = eval_jit(carry)
+            jax.block_until_ready(sm)
+        return args.trace_dir
+
     if args.model == "tgat":
         import jax.numpy as jnp
 
@@ -290,7 +331,7 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--bsize", type=int, default=200)
-    p.add_argument("--model", type=str, default="tgn", choices=["tgn", "tgn-hooks", "tgat", "dygformer"])
+    p.add_argument("--model", type=str, default="tgn", choices=["tgn", "tgn-hooks", "tgn-eval", "tgat", "dygformer"])
     p.add_argument("--trace-dir", type=str, default="/tmp/tgm_trace")
     p.add_argument("--parse-only", action="store_true",
                    help="only parse an existing trace dir")

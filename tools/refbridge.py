@@ -413,17 +413,28 @@ def layernorm_params(ln: torch.nn.LayerNorm) -> dict:
 
 
 def mha_params(mha: torch.nn.MultiheadAttention, num_heads: int) -> dict:
-    """torch MultiheadAttention -> tgm_tpu FusedSelfAttention params.
+    """torch MultiheadAttention -> flax MultiHeadDotProductAttention params.
 
-    torch packs q/k/v into in_proj_weight rows [q; k; v]; the fused module
-    packs them into one (E, 3E) kernel's columns in the same order, heads
-    head-major within each chunk — identical math.
+    torch packs q/k/v into in_proj_weight rows; flax splits heads into the
+    trailing (H, head_dim) axes with head-major concat order — identical math.
     """
+    E = mha.embed_dim
+    hd = E // num_heads
+    w = t2n(mha.in_proj_weight)
+    b = t2n(mha.in_proj_bias)
+
+    def proj(wx, bx):
+        return {"kernel": wx.T.reshape(E, num_heads, hd),
+                "bias": bx.reshape(num_heads, hd)}
+
     return {
-        "qkv": {"kernel": t2n(mha.in_proj_weight).T,
-                "bias": t2n(mha.in_proj_bias)},
-        "out": {"kernel": t2n(mha.out_proj.weight).T,
-                "bias": t2n(mha.out_proj.bias)},
+        "query": proj(w[:E], b[:E]),
+        "key": proj(w[E : 2 * E], b[E : 2 * E]),
+        "value": proj(w[2 * E :], b[2 * E :]),
+        "out": {
+            "kernel": t2n(mha.out_proj.weight).T.reshape(num_heads, hd, E),
+            "bias": t2n(mha.out_proj.bias),
+        },
     }
 
 
@@ -446,7 +457,7 @@ def dygformer_params(ref, num_heads: int) -> dict:
         out[f"transformers_{i}"] = {
             "LayerNorm_0": layernorm_params(tr.norm_layers[0]),
             "LayerNorm_1": layernorm_params(tr.norm_layers[1]),
-            "FusedSelfAttention_0": mha_params(
+            "MultiHeadDotProductAttention_0": mha_params(
                 tr.multi_head_attention, num_heads
             ),
             "Dense_0": dense_params(tr.linear_layers[0]),
