@@ -352,6 +352,13 @@ def main() -> None:
     p.add_argument("--eval-unroll", type=int, default=1,
                    help="lax.scan unroll for the eval epoch (scoring of "
                    "consecutive batches can overlap; state updates chain)")
+    p.add_argument("--eval-tables", choices=["closure", "params"],
+                   default="closure",
+                   help="feature tables in the eval program: closed-over "
+                   "constants (default; lets XLA pick layouts/prefetch) or "
+                   "jit parameters (r3's workaround for the f32-table "
+                   "254us/batch constant copy — measured SLOWER with the "
+                   "bf16 table: 144.7k vs 185k edges/s)")
     p.add_argument(
         "--with-eval", action="store_true",
         help="also time a scanned candidate-list eval epoch (tgn only; adds "
@@ -505,24 +512,27 @@ def main() -> None:
             int(dg.edge_dst.min()), int(dg.edge_dst.max()) + 1, dtype=jnp.int32,
         )
 
-        def eval_epoch(c, tbl):
-            # Feature tables enter as PARAMETERS here (not closure
-            # constants): the closed-over-constant eval program re-copied
-            # the full 54 MB table between memory spaces every iteration
-            # (profiled 254 us/batch of copy-start on the bf16 table).
-            with pipe.bind_tables(tbl):
-                def body(c, i):
-                    rows = lax.dynamic_slice(cands, (i * B, 0), (B, Q))
-                    return pipe.eval_step(c, stream.batch_at(i), rows)
+        def eval_body(c):
+            def body(c, i):
+                rows = lax.dynamic_slice(cands, (i * B, 0), (B, Q))
+                return pipe.eval_step(c, stream.batch_at(i), rows)
 
-                # unroll > 1 lets XLA overlap consecutive batches' candidate
-                # scoring: batch i+1's state depends only on batch i's
-                # (cheap) state update, never on its (expensive) scoring.
-                return lax.scan(body, c, jnp.arange(nb),
-                                unroll=args.eval_unroll)
+            # unroll > 1 lets XLA overlap consecutive batches' candidate
+            # scoring: batch i+1's state depends only on batch i's
+            # (cheap) state update, never on its (expensive) scoring.
+            return lax.scan(body, c, jnp.arange(nb), unroll=args.eval_unroll)
 
-        eval_jit0 = jax.jit(eval_epoch, donate_argnums=())
-        eval_jit = lambda c: eval_jit0(c, pipe.tables)
+        if args.eval_tables == "params":
+            # r3 workaround for the f32 table's per-iteration constant copy;
+            # with the bf16 table the closure program measures faster.
+            def eval_epoch(c, tbl):
+                with pipe.bind_tables(tbl):
+                    return eval_body(c)
+
+            eval_jit0 = jax.jit(eval_epoch, donate_argnums=())
+            eval_jit = lambda c: eval_jit0(c, pipe.tables)
+        else:
+            eval_jit = jax.jit(eval_body, donate_argnums=())
         carry2 = pipe.flush_all(carry)
         carry2, (s, cc) = eval_jit(carry2)  # compile + warm
         jax.block_until_ready(s)

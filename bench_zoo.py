@@ -429,11 +429,13 @@ def bench_graphmixer(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
     sys.path.insert(0, str(Path(__file__).resolve().parent))
     from examples.linkproppred.graphmixer import GraphMixerEncoder
 
-    from tgm_tpu.hooks import RecencyNeighborHook
+    from tgm_tpu.hooks import RecencyNeighborHook, TimeGapNeighborMeanHook
     from tgm_tpu.nn import LinkPredictor
     from tgm_tpu.train import scanned_hook_epoch
 
-    K, K_tg, time_dim, embed_dim = 20, 30, 100, 100
+    # time_gap=2000: the reference example's default window
+    # (/root/reference/examples/linkproppred/graphmixer.py:46-51).
+    K, time_gap, time_dim, embed_dim = 20, 2000, 100, 100
     node_x = _node_x(num_nodes, NODE_DIM["graphmixer"])
     hm = _base_hm(dg)
     seed_keys = ["edge_src", "edge_dst", "neg"]
@@ -443,10 +445,10 @@ def bench_graphmixer(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
                             edge_dim=edge_dim,
                             edge_x_full=dg._storage._data.edge_x)
     )
-    hm.register_shared(
-        RecencyNeighborHook(num_nodes, [K_tg], seed_keys, time_keys,
-                            edge_dim=edge_dim,
-                            edge_x_full=dg._storage._data.edge_x, id="tg")
+    s_src, s_dst, s_t = dg._storage.get_edges(dg._slice)
+    hm.register(
+        "train",
+        TimeGapNeighborMeanHook(s_src, s_dst, s_t, node_x, time_gap, seed_keys),
     )
     encoder = GraphMixerEncoder(
         time_dim=time_dim, embed_dim=embed_dim, num_tokens=K,

@@ -3,9 +3,12 @@
 Parity: /root/reference/examples/linkproppred/graphmixer.py:72-258 — the
 GraphMixer encoder is composed at example level: a link encoder (MLP-Mixer
 over 1-hop recent neighbor [edge ‖ Δt-enc] sequences, frozen Time2Vec,
-mask-mean pooling) plus a node encoder (mean of time-gap neighbors' features
-added to the seed's own features). The time-gap neighbor set is served by a
-second, id-suffixed recency hook instance.
+mask-mean pooling) plus a node encoder (mean of the neighbors appearing in
+the last ``time_gap`` EVENTS before the batch, added to the seed's own
+features). The time-gap mean is served by ``TimeGapNeighborMeanHook``
+(exact reference-GraphMixerHook semantics, proven bit-equal end-to-end by
+tools/parity_zoo2.py graphmixer_lr0; earlier rounds approximated it with a
+second recency hook, which is a different neighbor set).
 """
 
 from __future__ import annotations
@@ -35,6 +38,7 @@ from tgm_tpu.hooks import (
     RandomNegativeEdgeSamplerHook,
     RecencyNeighborHook,
     TGBNegativeEdgeSamplerHook,
+    TimeGapNeighborMeanHook,
 )
 from tgm_tpu.nn import LinkPredictor, MLPMixer, Time2Vec
 from tgm_tpu.util import seed_everything
@@ -53,7 +57,7 @@ class GraphMixerEncoder(nn.Module):
 
     requires = {
         "edge_src", "edge_dst", "nbr_edge_x", "seed_times", "nbr_edge_time",
-        "nbr_nids", "nbr_nids_tg", "neg",
+        "nbr_nids", "time_gap_feat", "neg",
     }
 
     @nn.compact
@@ -77,12 +81,8 @@ class GraphMixerEncoder(nn.Module):
         )
 
         # --- node encoder: time-gap neighbor mean + own features -------- #
-        tg_nbrs = batch.nbr_nids_tg[0]  # (S, K_tg)
-        tg_valid = tg_nbrs != PADDED_NODE_ID
-        tg_feat = node_feat[jnp.maximum(tg_nbrs, 0)] * tg_valid[..., None]
-        tg_mean = tg_feat.sum(1) / jnp.maximum(tg_valid.sum(1, keepdims=True), 1)
         seeds = jnp.concatenate([batch.edge_src, batch.edge_dst, batch.neg])
-        z_node = tg_mean + node_feat[jnp.maximum(seeds, 0)]
+        z_node = batch.time_gap_feat + node_feat[jnp.maximum(seeds, 0)]
 
         return nn.Dense(self.embed_dim)(jnp.concatenate([z_link, z_node], axis=1))
 
@@ -96,7 +96,9 @@ def parse_args():
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--dropout", type=float, default=0.1)
     p.add_argument("--n-nbrs", type=int, default=20)
-    p.add_argument("--time-gap-nbrs", type=int, default=30)
+    p.add_argument("--time-gap", type=int, default=2000,
+                   help="GraphMixer time slot size (window of events before "
+                   "the batch feeding the node encoder's neighbor mean)")
     p.add_argument("--time-dim", type=int, default=100)
     p.add_argument("--embed-dim", type=int, default=100)
     return p.parse_args()
@@ -130,11 +132,20 @@ def main():
     hm.register_shared(
         RecencyNeighborHook(num_nodes, [args.n_nbrs], seed_keys, time_keys, edge_dim=edge_dim)
     )
-    hm.register_shared(
-        RecencyNeighborHook(
-            num_nodes, [args.time_gap_nbrs], seed_keys, time_keys, edge_dim=edge_dim, id="tg"
+    # Time-gap mean: one instance per key — the window index space is
+    # split-local, like the reference hook running on each split's own dg.
+    for key, sdata, sdg in (
+        ("train", train_data, train_dg), ("val", val_data, val_dg),
+        ("test", test_data, test_dg),
+    ):
+        s_src, s_dst, s_t = sdg._storage.get_edges(sdg._slice)
+        hm.register(
+            key,
+            TimeGapNeighborMeanHook(
+                s_src, s_dst, s_t, node_x, args.time_gap, seed_keys,
+                edge_id_base=int(getattr(sdata, "edge_global_offset", 0)),
+            ),
         )
-    )
 
     encoder = GraphMixerEncoder(
         time_dim=args.time_dim, embed_dim=args.embed_dim, num_tokens=args.n_nbrs,

@@ -12,6 +12,7 @@ from .negatives import (
 )
 from .neighbors import NeighborSamplerHook, RecencyNeighborHook
 from .node_tracks import EdgeEventsSeenNodesTrackHook
+from .timegap import TimeGapNeighborMeanHook
 from .analytics import BatchAnalyticsHook, NodeAnalyticsHook
 from .recipe import RecipeRegistry, build_tgb_link_pred
 
@@ -37,6 +38,7 @@ __all__ = [
     "TGBNegativeEdgeSamplerHook",
     "TGBTHGNegativeEdgeSamplerHook",
     "TGBTKGNegativeEdgeSamplerHook",
+    "TimeGapNeighborMeanHook",
     "build_tgb_link_pred",
     "hook",
     "list_hooks",

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -140,8 +141,10 @@ class NodeAnalyticsHook(StatefulHook):
     _cls_requires = {"edge_src", "edge_dst", "edge_time"}
     _cls_produces = {"node_stats", "node_macro_stats", "edge_stats"}
 
-    #: Auto-exact threshold: pair bitmaps up to this many bits (8 MB of bool)
-    #: switch edge novelty from hashed-approximate to exact pair keying.
+    #: Auto-exact threshold: pair bitmaps up to this many bits switch edge
+    #: novelty from hashed-approximate to exact pair keying. The bitmap is
+    #: bit-packed into uint32 words, so this is 8 MiB of carried state
+    #: (2^26 bits / 8), not 64 MiB of bool (ADVICE r3).
     EXACT_BITMAP_MAX_BITS = 1 << 26
 
     def __init__(
@@ -175,11 +178,13 @@ class NodeAnalyticsHook(StatefulHook):
 
     def init_state(self, dg: Optional[DGraph] = None) -> Any:
         n = self.num_nodes + 1
+        # seen_edges is bit-packed: uint32 words, one bit per key — 1/8th the
+        # carried-state bytes of a bool bitmap at the same key space.
         return {
             "first_seen": jnp.full((n,), -1, dtype=jnp.int32),
             "last_seen": jnp.full((n,), -1, dtype=jnp.int32),
             "appearances": jnp.zeros((n,), dtype=jnp.int32),
-            "seen_edges": jnp.zeros((self._hash_size,), dtype=bool),
+            "seen_edges": jnp.zeros(((self._hash_size + 31) // 32,), dtype=jnp.uint32),
         }
 
     def reset_state(self) -> None:
@@ -230,18 +235,19 @@ class NodeAnalyticsHook(StatefulHook):
             [jnp.ones((1,), bool), k_sorted[1:] != k_sorted[:-1]]
         )
         k_safe = jnp.clip(k_sorted, 0, self._hash_size - 1)
-        new_edge_count = jnp.sum(
-            (
-                run_start
-                & (k_sorted != sentinel)
-                & ~state["seen_edges"][k_safe]
-            ).astype(jnp.int32)
-        )
-        # Out-of-range index for invalid edges drops the write (the old
-        # `where(valid, h, 0)` spuriously marked slot 0 as seen).
+        word_idx = k_safe >> 5
+        bit = jnp.uint32(1) << (k_safe & 31).astype(jnp.uint32)
+        already_seen = (state["seen_edges"][word_idx] & bit) != 0
+        fresh = run_start & (k_sorted != sentinel) & ~already_seen
+        new_edge_count = jnp.sum(fresh.astype(jnp.int32))
+        # Set the fresh bits with a scatter-ADD: every fresh key is a
+        # DISTINCT (run_start), previously-UNSET (~already_seen) bit, so no
+        # two added bits collide with each other or with existing state and
+        # add == bitwise-or. Out-of-range index drops non-fresh rows.
+        n_words = state["seen_edges"].shape[0]
         seen_edges = state["seen_edges"].at[
-            jnp.where(valid, keys, self._hash_size)
-        ].set(True, mode="drop")
+            jnp.where(fresh, word_idx, n_words)
+        ].add(jnp.where(fresh, bit, jnp.uint32(0)), mode="drop")
         n_edges = jnp.sum(valid.astype(jnp.int32))
         edge_novelty = new_edge_count / jnp.maximum(n_edges, 1)
 
@@ -273,7 +279,9 @@ class NodeAnalyticsHook(StatefulHook):
             # per-edge undercount probability, so divergence from the
             # reference's exact seen-set is detectable, not silent.
             "novelty_is_exact": jnp.asarray(self._exact),
-            "seen_bitmap_load": jnp.sum(seen_edges.astype(jnp.int32))
+            "seen_bitmap_load": jnp.sum(
+                jax.lax.population_count(seen_edges).astype(jnp.int32)
+            )
             / jnp.float32(self._hash_size),
         }
 

@@ -39,6 +39,7 @@ CORE_ATTRIBUTE: Set[str] = {
     "edge_dst",
     "edge_time",
     "edge_valid",
+    "edge_ids",
     "edge_type",
     "node_x_time",
     "node_x_nids",

@@ -54,6 +54,7 @@ scale with num_nodes, not num_edges.
 from __future__ import annotations
 
 import math
+import weakref
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, Optional, Tuple
 
@@ -273,6 +274,21 @@ def chunked_hook_epoch(
     ex = ThreadPoolExecutor(1)
     pending: list = []
 
+    def close() -> None:
+        """Release the prefetched chunk's device buffers and stop the
+        prefetch thread. Idempotent; also runs via weakref.finalize when the
+        returned epoch fn is garbage-collected, so callers that loop epochs
+        keep the cross-epoch prefetch and one-shot callers don't leak an
+        executor thread + one HBM-live chunk per chunked_hook_epoch call
+        (ADVICE r3)."""
+        while pending:
+            fut = pending.pop()
+            try:
+                fut.result()  # let an in-flight upload land, then drop it
+            except Exception:
+                pass
+        ex.shutdown(wait=True)
+
     def epoch(carry, hook_states):
         outs = []
         fut = pending.pop() if pending else ex.submit(stream.put_chunk, 0)
@@ -299,6 +315,8 @@ def chunked_hook_epoch(
         stacked = jax.tree.map(lambda *xs: np.concatenate(xs), *outs)
         return carry, hook_states, stacked
 
+    epoch.close = close
+    weakref.finalize(epoch, close)
     return epoch, init_states
 
 

@@ -108,19 +108,25 @@ class TGNPipeline(StaticTablesMixin):
         if feat_bf16 is None:
             feat_bf16 = default_feat_bf16()
         self.feat_bf16 = feat_bf16
+        # Resolve the tri-state attention flag ONCE and use the resolved bool
+        # for BOTH the encoder's kv_bf16 and the feature-table dtype: gating
+        # the table cast on the unresolved flag while passing the raw None to
+        # the encoder left the r3 default config with a bf16 table feeding an
+        # f32 K/V path — a per-step bf16->f32 convert sweep and no longer
+        # bit-identical (ADVICE r3, medium).
+        from ..util.precision import resolve_bf16
+
+        attn_bf16 = resolve_bf16(attn_bf16)
         if edge_x_full is not None and feat_bf16:
             edge_x_full = jnp.asarray(edge_x_full, jnp.bfloat16)
-        elif edge_x_full is not None and rowwise:
-            from ..util.precision import resolve_bf16
-
-            if resolve_bf16(attn_bf16):
-                # The recency-gathered features feed ONLY the bf16 K/V
-                # attention path (raw messages come from the stream's own
-                # edge_x), so bf16(gather(x)) == gather(bf16(x)) bit-exactly
-                # — storing the table bf16 halves the dominant eval gather
-                # (44000 rows/batch at Q=20, profiled 38% of the eval step)
-                # with identical outputs.
-                edge_x_full = jnp.asarray(edge_x_full, jnp.bfloat16)
+        elif edge_x_full is not None and rowwise and attn_bf16:
+            # The recency-gathered features feed ONLY the bf16 K/V
+            # attention path (raw messages come from the stream's own
+            # edge_x), so bf16(gather(x)) == gather(bf16(x)) bit-exactly
+            # — storing the table bf16 halves the dominant eval gather
+            # (44000 rows/batch at Q=20, profiled 38% of the eval step)
+            # with identical outputs.
+            edge_x_full = jnp.asarray(edge_x_full, jnp.bfloat16)
         self.edge_x_full = edge_x_full
         # Packed memory-state layout (measured NEGATIVE on v5e — default off):
         # packing cut the staging gathers from ~12 to 5 but the column-sliced
@@ -152,13 +158,13 @@ class TGNPipeline(StaticTablesMixin):
             memory_dim=memory_dim,
             time_dim=time_dim,
         )
-        # bf16 K/V attention measured NEUTRAL for TGN on v5e (257.7k vs
-        # 258.4k edges/s — the step is staging-bound, not attention-bound),
-        # so TGN defaults to exact f32; TGAT (attention-bound, +19%) turns
-        # it on via its own default_attn_bf16 policy.
-        self.attn_bf16 = bool(attn_bf16)
+        # bf16 K/V attention measured NEUTRAL for TGN *train* on v5e (257.7k
+        # vs 258.4k edges/s — the train step is staging-bound), but the bf16
+        # feature table it enables is +41% on the gather-dominated eval step,
+        # so auto resolves to ON for TPU (CPU stays f32 for torch parity).
+        self.attn_bf16 = attn_bf16
         enc_cls = GraphAttentionEmbeddingRowwise if rowwise else GraphAttentionEmbedding
-        enc_kwargs = {"kv_bf16": attn_bf16} if rowwise else {}
+        enc_kwargs = {"kv_bf16": self.attn_bf16} if rowwise else {}
         self.encoder = enc_cls(
             in_channels=memory_dim,
             out_channels=embed_dim,

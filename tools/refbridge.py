@@ -576,3 +576,14 @@ def gclstm_params(ref) -> dict:
         p[f"b_{g}"] = t2n(getattr(ref, f"b_{g}"))
         p[f"conv_{g}"] = cheb_conv_params(getattr(ref, f"conv_{g}"))
     return {"params": p}
+
+
+def node_predictor_params(ref_dec) -> dict:
+    """Reference NodePredictor (MLP over node embedding,
+    tgm/nn/decoder/nodeproppred.py:6-45) -> ours (@nn.compact _MLP_0)."""
+    linears = [m for m in ref_dec.model if isinstance(m, torch.nn.Linear)]
+    return {
+        "params": {
+            "_MLP_0": {f"Dense_{i}": dense_params(lin) for i, lin in enumerate(linears)}
+        }
+    }
