@@ -161,7 +161,9 @@ def run_hook_bench(args, dg, stream, num_nodes, num_edges, edge_dim,
     train_core, _ = build_tgn_hook_cores(
         memory, encoder, decoder, opt, num_nodes, style="rowwise"
     )
-    epoch, hstates = scanned_hook_epoch(stream, hm, "train", dg, train_core)
+    copts = dict(kv.split("=", 1) for kv in args.compiler_opt) or None
+    epoch, hstates = scanned_hook_epoch(stream, hm, "train", dg, train_core,
+                                        compiler_options=copts)
 
     carry = (params, opt_state, mem_state, key)
     carry, hstates, losses = epoch(carry, hstates)  # compile + warm
@@ -297,7 +299,9 @@ def run_dygformer_bench(args, dg, stream, num_nodes, num_edges, edge_dim) -> Non
     )
     params = {"enc": enc_params, "dec": dec_params}
     opt_state = opt.init(params)
-    epoch, hstates = scanned_hook_epoch(stream, hm, "train", dg, train_core)
+    copts = dict(kv.split("=", 1) for kv in args.compiler_opt) or None
+    epoch, hstates = scanned_hook_epoch(stream, hm, "train", dg, train_core,
+                                        compiler_options=copts)
 
     carry = (params, opt_state, key)
     carry, hstates, losses = epoch(carry, hstates)  # compile + warm
@@ -352,6 +356,17 @@ def main() -> None:
     p.add_argument("--eval-unroll", type=int, default=1,
                    help="lax.scan unroll for the eval epoch (scoring of "
                    "consecutive batches can overlap; state updates chain)")
+    p.add_argument("--compiler-opt", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="XLA compiler option override for the scanned TRAIN "
+                   "program (hook-API models; repeatable)")
+    p.add_argument("--eval-compiler-opt", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="XLA compiler option override for the EVAL program "
+                   "only (repeatable; e.g. xla_tpu_alternate_memory_benefit_"
+                   "scaling_factor_for_large_buffers=0.0). TPU-only flags "
+                   "must go through per-compile options — the local CPU-side "
+                   "XLA_FLAGS parser rejects them")
     p.add_argument("--eval-tables", choices=["closure", "params"],
                    default="closure",
                    help="feature tables in the eval program: closed-over "
@@ -522,6 +537,7 @@ def main() -> None:
             # (cheap) state update, never on its (expensive) scoring.
             return lax.scan(body, c, jnp.arange(nb), unroll=args.eval_unroll)
 
+        copts = dict(kv.split("=", 1) for kv in args.eval_compiler_opt) or None
         if args.eval_tables == "params":
             # r3 workaround for the f32 table's per-iteration constant copy;
             # with the bf16 table the closure program measures faster.
@@ -529,10 +545,12 @@ def main() -> None:
                 with pipe.bind_tables(tbl):
                     return eval_body(c)
 
-            eval_jit0 = jax.jit(eval_epoch, donate_argnums=())
+            eval_jit0 = jax.jit(eval_epoch, donate_argnums=(),
+                                compiler_options=copts)
             eval_jit = lambda c: eval_jit0(c, pipe.tables)
         else:
-            eval_jit = jax.jit(eval_body, donate_argnums=())
+            eval_jit = jax.jit(eval_body, donate_argnums=(),
+                               compiler_options=copts)
         carry2 = pipe.flush_all(carry)
         carry2, (s, cc) = eval_jit(carry2)  # compile + warm
         jax.block_until_ready(s)

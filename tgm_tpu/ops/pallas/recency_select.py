@@ -112,6 +112,99 @@ def _kernel_eid(qt_ref, wp_ref, ids_ref, times_ref, eids_ref,
     out_eids_ref[...] = jnp.where(picked, sel_eids, -1)
 
 
+def _kernel_eid_lanes(qt_ref, wp_ref, ids_ref, times_ref, eids_ref,
+                      out_ids_ref, out_times_ref, out_eids_ref, *, K: int):
+    """Transposed variant of ``_kernel_eid``: SEEDS on the 128-lane axis.
+
+    The row-major kernel keeps the buffer axis (B≈10) minor, so every
+    (SB, B[, K]) intermediate pads B→128 lanes — 12.8x wasted VPU lanes and
+    a 16 MB scoped-VMEM blowup above block 512 (measured 91 us/1k rows at
+    eval seed counts, pure latency). With seeds minor, the (B, B, S) rank
+    compare and (B, K, S) one-hot use every lane; only the B→16 sublane pad
+    remains."""
+    ids = ids_ref[...]  # (B, SB)
+    times = times_ref[...]
+    eids = eids_ref[...]
+    B, SB = ids.shape
+
+    wp = wp_ref[0, :]  # (SB,)
+    qt = qt_ref[0, :]
+
+    slot = jax.lax.broadcasted_iota(jnp.int32, (B, SB), 0)
+    age = (wp[None, :] - 1 - slot) % B  # 0 = newest
+    valid = (times < qt[None, :]) & (ids != PADDED_NODE_ID)
+
+    # rank[j, s] = #valid slots of seed s strictly more recent than slot j.
+    more_recent = (age[None, :, :] < age[:, None, :]) & valid[None, :, :]
+    rank = jnp.sum(more_recent.astype(jnp.int32), axis=1)  # (B, SB)
+
+    selected = valid & (rank < K)
+    col = jnp.where(selected, K - 1 - rank, -1)  # output row, newest at K-1
+    kcols = jax.lax.broadcasted_iota(jnp.int32, (B, K, SB), 1)
+    onehot = (col[:, None, :] == kcols).astype(jnp.int32)  # (B, K, SB)
+
+    picked = jnp.sum(onehot, axis=0) > 0  # (K, SB)
+    sel_ids = jnp.sum(onehot * ids[:, None, :], axis=0)
+    sel_times = jnp.sum(onehot * times[:, None, :], axis=0)
+    sel_eids = jnp.sum(onehot * eids[:, None, :], axis=0)
+    out_ids_ref[...] = jnp.where(picked, sel_ids, PADDED_NODE_ID)
+    out_times_ref[...] = jnp.where(picked, sel_times, 0)
+    out_eids_ref[...] = jnp.where(picked, sel_eids, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block", "interpret"))
+def recency_window_select_eid_lanes(
+    ids: jnp.ndarray,  # (S, B) int32 buffer rows (pre-gathered per seed)
+    times: jnp.ndarray,  # (S, B) int32
+    eids: jnp.ndarray,  # (S, B) int32 edge ids
+    write_pos: jnp.ndarray,  # (S,) int32
+    query_times: jnp.ndarray,  # (S,) int32
+    k: int,
+    block: int = 2048,
+    interpret: bool = False,
+):
+    """Lane-major window select (same contract as recency_window_select_eid)."""
+    S, B = ids.shape
+    idsT = ids.T  # (B, S)
+    timesT = times.T
+    eidsT = eids.T
+    if S % block != 0:
+        pad = block - S % block
+        idsT = jnp.pad(idsT, ((0, 0), (0, pad)), constant_values=PADDED_NODE_ID)
+        timesT = jnp.pad(timesT, ((0, 0), (0, pad)))
+        eidsT = jnp.pad(eidsT, ((0, 0), (0, pad)), constant_values=-1)
+        write_pos = jnp.pad(write_pos, (0, pad))
+        query_times = jnp.pad(query_times, (0, pad))
+    Sp = idsT.shape[1]
+    grid = (Sp // block,)
+
+    col = lambda i: (0, i)
+    out = pl.pallas_call(
+        functools.partial(_kernel_eid_lanes, K=k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, block), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, block), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, block), col, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((k, block), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, block), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, block), col, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((k, Sp), jnp.int32),
+            jax.ShapeDtypeStruct((k, Sp), jnp.int32),
+            jax.ShapeDtypeStruct((k, Sp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(query_times[None, :], write_pos[None, :], idsT, timesT, eidsT)
+    out_ids, out_times, out_eids = out
+    return out_ids[:, :S].T, out_times[:, :S].T, out_eids[:, :S].T
+
+
 @functools.partial(jax.jit, static_argnames=("k", "block", "interpret"))
 def recency_window_select_eid(
     ids: jnp.ndarray,  # (S, B) int32 buffer rows (pre-gathered per seed)

@@ -37,6 +37,7 @@ def scanned_hook_epoch(
     dg: DGraph,
     step_fn: Callable[[Any, Any], Tuple[Any, Any]],
     donate: bool = True,
+    compiler_options: Any = None,
 ):
     """Compile one scanned epoch over ``stream`` with ``key``'s hook pipeline.
 
@@ -45,6 +46,10 @@ def scanned_hook_epoch(
     ``step_fn(carry, hook_enriched_batch) -> (carry, out)`` is the model step.
     Existing hook state (e.g. recency buffers carried from a previous split)
     is reused; hooks without live state are initialized from ``dg``.
+
+    ``compiler_options``: optional dict of XLA per-compile option overrides
+    (e.g. TPU memory-space-assignment knobs, which the local CPU-side
+    XLA_FLAGS parser would reject).
     """
     hook_fn, init_states = hm.as_transform(key, dg)
     n = stream.num_batches
@@ -66,7 +71,8 @@ def scanned_hook_epoch(
     # alias the hooks' live ``h.state`` buffers — donating them would leave
     # eager hooks holding deleted arrays if the caller interleaves execution
     # modes or the epoch aborts before adopt_states.
-    jit_epoch = jax.jit(epoch, donate_argnums=(0,) if donate else ())
+    jit_epoch = jax.jit(epoch, donate_argnums=(0,) if donate else (),
+                        compiler_options=compiler_options)
     return jit_epoch, init_states
 
 

@@ -30,7 +30,10 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir",
                       str(Path(__file__).resolve().parents[1] / ".jax_cache"))
 
-    from tgm_tpu.ops.pallas.recency_select import recency_window_select_eid
+    from tgm_tpu.ops.pallas.recency_select import (
+        recency_window_select_eid,
+        recency_window_select_eid_lanes,
+    )
 
     rng = np.random.default_rng(0)
     S, B = args.rows, args.buf
@@ -60,6 +63,27 @@ def main() -> None:
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / args.iters * 1e6
         print(f"block={block:5d}: {dt:8.1f} us  ({dt / S * 1000:.1f} us/1k rows)")
+
+    for block in (512, 1024, 2048, 4096):
+        f = jax.jit(
+            lambda i, t, e, w, q, blk=block: recency_window_select_eid_lanes(
+                i, t, e, w, q, k=args.k, block=blk
+            )
+        )
+        try:
+            out = f(ids, times, eids, wp, qt)
+            jax.block_until_ready(out)
+        except Exception as exc:  # VMEM OOM etc.
+            print(f"lanes block={block:5d}: failed ({type(exc).__name__})")
+            continue
+        for a, b in zip(ref, out):
+            np.testing.assert_array_equal(a, np.asarray(b))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = f(ids, times, eids, wp, qt)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / args.iters * 1e6
+        print(f"lanes block={block:5d}: {dt:8.1f} us  ({dt / S * 1000:.1f} us/1k rows)")
 
 
 if __name__ == "__main__":
