@@ -242,9 +242,11 @@ def run_dygformer_bench(args, dg, stream, num_nodes, num_edges, edge_dim) -> Non
         channel_embedding_dim=50, output_dim=embed_dim, patch_size=1,
         max_input_sequence_length=32, dropout=0.0,
         compute_bf16=resolve_bf16(args.attn_bf16),
+        fused_attn=(args.dyg_attn == "fused"),
     )
     decoder = LinkPredictor(node_dim=embed_dim, hidden_dim=embed_dim)
     opt = optax.adam(1e-4)
+    pair_fused = args.dyg_pairs == "fused"
 
     def encode_pair(p, batch, seed_a, seed_b, nbrs, nts, nxs):
         return encoder.apply(
@@ -260,18 +262,25 @@ def run_dygformer_bench(args, dg, stream, num_nodes, num_edges, edge_dim) -> Non
         nx = batch.nbr_edge_x[0]
 
         def loss_fn(p):
-            zs, zd = encode_pair(
-                p, batch, batch.edge_src, batch.edge_dst,
-                jnp.concatenate([nbr[:B], nbr[B:2 * B]]),
-                jnp.concatenate([nt[:B], nt[B:2 * B]]),
-                jnp.concatenate([nx[:B], nx[B:2 * B]]),
-            )
-            zs2, zn = encode_pair(
-                p, batch, batch.edge_src, batch.neg,
-                jnp.concatenate([nbr[:B], nbr[2 * B:]]),
-                jnp.concatenate([nt[:B], nt[2 * B:]]),
-                jnp.concatenate([nx[:B], nx[2 * B:]]),
-            )
+            if pair_fused:
+                zs, zd, zs2, zn = encoder.apply(
+                    p["enc"], node_x, batch.edge_src, batch.edge_dst,
+                    batch.neg, batch.edge_time, nbr, nt, nx,
+                    method=DyGFormer.encode_pairs,
+                )
+            else:
+                zs, zd = encode_pair(
+                    p, batch, batch.edge_src, batch.edge_dst,
+                    jnp.concatenate([nbr[:B], nbr[B:2 * B]]),
+                    jnp.concatenate([nt[:B], nt[B:2 * B]]),
+                    jnp.concatenate([nx[:B], nx[B:2 * B]]),
+                )
+                zs2, zn = encode_pair(
+                    p, batch, batch.edge_src, batch.neg,
+                    jnp.concatenate([nbr[:B], nbr[2 * B:]]),
+                    jnp.concatenate([nt[:B], nt[2 * B:]]),
+                    jnp.concatenate([nx[:B], nx[2 * B:]]),
+                )
             pos = decoder.apply(p["dec"], zs, zd)
             neg = decoder.apply(p["dec"], zs2, zn)
             m = batch.edge_valid.astype(pos.dtype)
@@ -321,6 +330,8 @@ def run_dygformer_bench(args, dg, stream, num_nodes, num_edges, edge_dim) -> Non
         "metric": "dygformer_train_edges_per_sec_tgbl_wiki_shape",
         "value": round(edges_per_sec, 1),
         "unit": "edges/s",
+        "attn": args.dyg_attn,
+        "pairs": args.dyg_pairs,
         "vs_baseline": round(edges_per_sec / BASELINE_CUDA_ESTIMATE_EDGES_PER_SEC, 3),
         "baseline_is": "tgm_cuda_estimate_15k",
     }
@@ -333,7 +344,7 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--smoke", action="store_true", help="tiny shapes, fast check")
     p.add_argument("--bsize", type=int, default=200)
-    p.add_argument("--epochs", type=int, default=4, help="timed epochs after warmup (min is reported; single-epoch timings jitter ~15% through the remote-TPU tunnel)")
+    p.add_argument("--epochs", type=int, default=4, help="timed epochs after warmup (min is reported; single-epoch timings jitter ~15%% through the remote-TPU tunnel)")
     p.add_argument("--unroll", type=int, default=1,
                    help="lax.scan unroll factor for the epoch body")
     p.add_argument("--dedup-staging", action="store_true",
@@ -374,6 +385,13 @@ def main() -> None:
                    "jit parameters (r3's workaround for the f32-table "
                    "254us/batch constant copy — measured SLOWER with the "
                    "bf16 table: 144.7k vs 185k edges/s)")
+    p.add_argument("--dyg-attn", choices=["fused", "flax"], default="fused",
+                   help="dygformer attention: one fused (D,3D) QKV matmul + "
+                   "explicit einsum core (default) or flax MHA")
+    p.add_argument("--dyg-pairs", choices=["fused", "split"], default="fused",
+                   help="dygformer pos/neg pairs: one encode_pairs forward "
+                   "over the stacked (3B) hook rows (default) or two "
+                   "separate encoder calls (r2/r3 execution)")
     p.add_argument(
         "--with-eval", action="store_true",
         help="also time a scanned candidate-list eval epoch (tgn only; adds "

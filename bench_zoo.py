@@ -72,6 +72,8 @@ def _bce(pos, neg, valid):
 
 
 def _time_scanned_epoch(args, num_edges, epoch, carry, hstates):
+    import os
+
     import jax
 
     carry, hstates, losses = epoch(carry, hstates)  # compile + warm
@@ -84,20 +86,64 @@ def _time_scanned_epoch(args, num_edges, epoch, carry, hstates):
         carry, hstates, losses = epoch(carry, hstates)
         jax.block_until_ready(losses)
         times.append(time.perf_counter() - t0)
+    # tools/profile_epoch.py sets this to capture a per-op trace of one
+    # post-warmup epoch for any zoo model.
+    trace_dir = os.environ.get("TGM_PROFILE_TRACE_DIR")
+    if trace_dir:
+        with jax.profiler.trace(trace_dir):
+            carry, hstates, losses = epoch(carry, hstates)
+            jax.block_until_ready(losses)
     return num_edges / min(times)
 
 
-def _base_hm(dg):
+def _base_hm(dg, args=None, num_edges=None):
     from tgm_tpu.hooks import HookManager, RandomNegativeEdgeSamplerHook
 
-    hm = HookManager(keys=["train"])
+    keys = ["train", "val"] if getattr(args, "with_eval", False) else ["train"]
+    hm = HookManager(keys=keys)
     hm.register(
         "train",
         RandomNegativeEdgeSamplerHook(
             low=int(dg.edge_dst.min()), high=int(dg.edge_dst.max())
         ),
     )
+    if getattr(args, "with_eval", False):
+        from tgm_tpu.hooks import TGBNegativeEdgeSamplerHook
+
+        hm.register("val", TGBNegativeEdgeSamplerHook(
+            candidates=_eval_candidates(dg, num_edges)))
     return hm
+
+
+EVAL_Q = 20  # candidates per edge, matching bench.py --with-eval
+
+
+def _eval_candidates(dg, num_edges, seed=1):
+    """Synthetic per-edge candidate lists, (E, Q) — the TGB eval shape."""
+    rng = np.random.default_rng(seed)
+    return rng.integers(
+        int(dg.edge_dst.min()), int(dg.edge_dst.max()) + 1,
+        (num_edges, EVAL_Q),
+    ).astype(np.int32)
+
+
+def _time_scanned_eval(args, num_edges, epoch, carry, hstates):
+    """Time a scanned candidate-list eval epoch; returns edges/s. Also
+    sanity-checks the MRR is finite (untrained params — value is arbitrary,
+    only the execution shape matters for throughput)."""
+    import jax
+
+    carry, hstates, (s, c) = epoch(carry, hstates)  # compile + warm
+    jax.block_until_ready(s)
+    mrr = float(np.sum(np.asarray(s))) / max(float(np.sum(np.asarray(c))), 1.0)
+    assert np.isfinite(mrr), f"non-finite eval mrr: {mrr}"
+    times = []
+    for _ in range(max(args.epochs, 1)):
+        t0 = time.perf_counter()
+        carry, hstates, (s, c) = epoch(carry, hstates)
+        jax.block_until_ready(s)
+        times.append(time.perf_counter() - t0)
+    return num_edges / min(times)
 
 
 def bench_tpnet(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
@@ -114,7 +160,7 @@ def bench_tpnet(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
 
     K, time_dim, embed_dim = 20, 100, 100
     node_x = _node_x(num_nodes, NODE_DIM["tpnet"])
-    hm = _base_hm(dg)
+    hm = _base_hm(dg, args, num_edges)
     hm.register_shared(
         RecencyNeighborHook(
             num_nodes, [K], ["edge_src", "edge_dst", "neg"],
@@ -188,9 +234,60 @@ def bench_tpnet(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
         return (params, opt_state, rp_state), loss
 
     epoch, hstates = scanned_hook_epoch(stream, hm, "train", dg, core)
-    return _time_scanned_epoch(
+    eps = _time_scanned_epoch(
         args, num_edges, epoch, (params, opt_state, rp_state), hstates
     )
+    if not getattr(args, "with_eval", False):
+        return eps
+
+    # Scanned candidate-list eval, mirroring examples/linkproppred/tpnet.py
+    # eval_step: per-edge (B, Q) lists; candidates' neighbor rows located in
+    # the hook's unique-candidate seed block via seed_lookup.
+    from tgm_tpu.constants import PADDED_NODE_ID
+    from tgm_tpu.eval.metrics import mrr_sum_count
+    from tgm_tpu.hooks import candidate_rows, seed_lookup
+
+    def eval_core(carry, batch):
+        params, rp_state = carry
+        B = batch.edge_src.shape[0]
+        Q = batch.neg_batch_list.shape[1]
+        zs, zd = encoder.apply(
+            params["enc"], node_x, batch.edge_src, batch.edge_dst,
+            batch.edge_time, *rows(batch, 0, 1), rp_state,
+        )
+        pos = decoder.apply(params["dec"], zs, zd)
+        negs = batch.neg_batch_list.reshape(-1)
+        src_rep = jnp.repeat(batch.edge_src, Q)
+        t_rep = jnp.repeat(batch.edge_time, Q)
+        nbr_all = batch.nbr_nids[0]
+        nt_all = batch.nbr_edge_time[0]
+        nx_all = batch.nbr_edge_x[0]
+        lut = seed_lookup(batch.seed_nids[0], num_nodes)
+        cand_r, found = candidate_rows(lut, negs, nbr_all.shape[0])
+        zs2, zn = encoder.apply(
+            params["enc"], node_x, src_rep, negs, t_rep,
+            jnp.concatenate([jnp.repeat(nbr_all[:B], Q, axis=0), nbr_all[cand_r]]),
+            jnp.concatenate([jnp.repeat(nt_all[:B], Q, axis=0), nt_all[cand_r]]),
+            jnp.concatenate([jnp.repeat(nx_all[:B], Q, axis=0), nx_all[cand_r]]),
+            rp_state,
+        )
+        neg = decoder.apply(params["dec"], zs2, zn).reshape(B, Q)
+        s, c = mrr_sum_count(
+            pos, neg,
+            neg_valid=(batch.neg_batch_list != PADDED_NODE_ID) & found.reshape(B, Q),
+            edge_valid=batch.edge_valid,
+        )
+        rp_state = rp_update(
+            rp_state, batch.edge_src, batch.edge_dst, batch.edge_time,
+            batch.edge_valid, rp.time_decay_weight,
+        )
+        return (params, rp_state), (s, c)
+
+    eval_epoch, ehstates = scanned_hook_epoch(stream, hm, "val", dg, eval_core)
+    eval_eps = _time_scanned_eval(
+        args, num_edges, eval_epoch, (params, rp.init_state(k1)), ehstates
+    )
+    return eps, eval_eps
 
 
 def bench_ctan(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
@@ -207,7 +304,7 @@ def bench_ctan(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
 
     K, time_dim, embed_dim = 10, 100, 100
     node_x = _node_x(num_nodes, NODE_DIM["ctan"])
-    hm = _base_hm(dg)
+    hm = _base_hm(dg, args, num_edges)
     hm.register_shared(
         RecencyNeighborHook(
             num_nodes, [K], ["edge_src", "edge_dst", "neg"],
@@ -291,9 +388,48 @@ def bench_ctan(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
         return (params, opt_state, mem_state), loss
 
     epoch, hstates = scanned_hook_epoch(stream, hm, "train", dg, core)
-    return _time_scanned_epoch(
+    eps = _time_scanned_epoch(
         args, num_edges, epoch, (params, opt_state, mem_state), hstates
     )
+    if not getattr(args, "with_eval", False):
+        return eps
+
+    # Scanned candidate-list eval, mirroring examples/linkproppred/ctan.py
+    # eval_step: candidates live in the dedup-local space ('neg' is a dedup
+    # seed key), so scoring is pure z-row gathers.
+    from tgm_tpu.eval.metrics import mrr_sum_count
+
+    def eval_core(carry, batch):
+        params, mem_state = carry
+        B = batch.edge_src.shape[0]
+        Q = batch.neg_batch_list.shape[1]
+        g2l = batch.global_to_local
+        z = encode(params, mem_state, batch)
+        zs = z[map_to_local(g2l, batch.edge_src)]
+        zd = z[map_to_local(g2l, batch.edge_dst)]
+        zn = z[map_to_local(g2l, batch.neg_batch_list.reshape(-1))]
+        pos = decoder.apply(params["dec"], zs, zd)
+        neg = decoder.apply(
+            params["dec"],
+            jnp.repeat(zs[:, None, :], Q, 1).reshape(B * Q, -1),
+            zn,
+        ).reshape(B, Q)
+        s, c = mrr_sum_count(
+            pos, neg, neg_valid=batch.neg_batch_list != PADDED_NODE_ID,
+            edge_valid=batch.edge_valid,
+        )
+        mem_state = ctan_memory_update(
+            mem_state, batch.edge_src, batch.edge_dst, batch.edge_time,
+            zs, zd, batch.edge_valid,
+        )
+        return (params, mem_state), (s, c)
+
+    eval_epoch, ehstates = scanned_hook_epoch(stream, hm, "val", dg, eval_core)
+    eval_eps = _time_scanned_eval(
+        args, num_edges, eval_epoch,
+        (params, ctan_memory_init(num_nodes, embed_dim)), ehstates,
+    )
+    return eps, eval_eps
 
 
 def bench_tncn(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
@@ -305,6 +441,7 @@ def bench_tncn(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
     from tgm_tpu.constants import PADDED_NODE_ID
     from tgm_tpu.hooks import DeduplicationHook, RecencyNeighborHook, map_to_local
     from tgm_tpu.nn import NCNPredictor
+    from tgm_tpu.nn.decoder.ncnpred import ncn_adjacency_rows
     from tgm_tpu.nn.encoder.tgn import (
         GraphAttentionEmbedding,
         TGNMemory,
@@ -313,7 +450,7 @@ def bench_tncn(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
     from tgm_tpu.train import scanned_hook_epoch
 
     K, time_dim, embed_dim, memory_dim = 10, 100, 100, 100
-    hm = _base_hm(dg)
+    hm = _base_hm(dg, args, num_edges)
     hm.register_shared(
         RecencyNeighborHook(
             num_nodes, [K], ["edge_src", "edge_dst", "neg"],
@@ -380,16 +517,28 @@ def bench_tncn(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
                 p["enc"], z_mem, last_upd, e_src, e_dst, e_t, e_x, e_valid
             )
 
-            def score(src, dst):
+            # Adjacency rows for ALL (src, dst, neg) seeds, computed ONCE
+            # per batch via equality-mask matmuls (no (U, U) scatter build;
+            # bit-exact vs the dense path — ncn_adjacency_rows docstring).
+            B = batch.edge_src.shape[0]
+            seeds_l = map_to_local(g2l, batch.seed_nids[0])
+            nbrs_l = map_to_local(g2l, batch.nbr_nids[0])
+            nbr_ok = (batch.nbr_nids[0] != PADDED_NODE_ID) & (
+                batch.seed_nids[0][:, None] != PADDED_NODE_ID
+            )
+            rows = ncn_adjacency_rows(seeds_l, nbrs_l, nbr_ok, z.shape[0])
+
+            def score(rows_i, rows_j, src, dst):
                 return decoder.apply(
-                    p["dec"], z, e_src, e_dst,
+                    p["dec"], z, rows_i, rows_j,
                     map_to_local(g2l, src), map_to_local(g2l, dst),
                     last_update=last_upd, edge_time=batch.edge_time,
-                    edge_valid=e_valid,
+                    method=NCNPredictor.score_from_rows,
                 )
 
-            pos = score(batch.edge_src, batch.edge_dst)
-            neg = score(batch.edge_src, batch.neg)
+            pos = score(rows[:B], rows[B : 2 * B],
+                        batch.edge_src, batch.edge_dst)
+            neg = score(rows[:B], rows[2 * B :], batch.edge_src, batch.neg)
             return _bce(pos, neg, batch.edge_valid)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -413,9 +562,78 @@ def bench_tncn(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
         return (params, opt_state, mem_state), loss
 
     epoch, hstates = scanned_hook_epoch(stream, hm, "train", dg, core)
-    return _time_scanned_epoch(
+    eps = _time_scanned_epoch(
         args, num_edges, epoch, (params, opt_state, mem_state), hstates
     )
+    if not getattr(args, "with_eval", False):
+        return eps
+
+    # Scanned candidate-list eval, mirroring examples/linkproppred/tncn.py
+    # eval_step: adjacency rows for ALL (src, dst, unique-candidate) seeds
+    # computed once per batch, every (edge, candidate) pair scored from them.
+    from tgm_tpu.eval.metrics import mrr_sum_count
+    from tgm_tpu.hooks import candidate_rows, seed_lookup
+
+    def eval_core(carry, batch):
+        params, mem_state = carry
+        B = batch.edge_src.shape[0]
+        Q = batch.neg_batch_list.shape[1]
+        g2l = batch.global_to_local
+        z_mem, last_upd = memory.apply(
+            params["mem"], mem_state, batch.unique_nids, method=TGNMemory.stage
+        )
+        e_src, e_dst, e_t, e_x, e_valid = local_graph(batch)
+        z = encoder.apply(
+            params["enc"], z_mem, last_upd, e_src, e_dst, e_t, e_x, e_valid
+        )
+        seeds_l = map_to_local(g2l, batch.seed_nids[0])
+        nbrs_l = map_to_local(g2l, batch.nbr_nids[0])
+        nbr_ok = (batch.nbr_nids[0] != PADDED_NODE_ID) & (
+            batch.seed_nids[0][:, None] != PADDED_NODE_ID
+        )
+        rows = ncn_adjacency_rows(seeds_l, nbrs_l, nbr_ok, z.shape[0])
+        loc_src = map_to_local(g2l, batch.edge_src)
+        pos = decoder.apply(
+            params["dec"], z, rows[:B], rows[B : 2 * B], loc_src,
+            map_to_local(g2l, batch.edge_dst),
+            method=NCNPredictor.score_from_rows,
+        )
+        negs = batch.neg_batch_list.reshape(-1)
+        lut = seed_lookup(batch.seed_nids[0], num_nodes)
+        cand_r, found = candidate_rows(lut, negs, rows.shape[0])
+        neg = decoder.apply(
+            params["dec"], z,
+            jnp.repeat(rows[:B], Q, axis=0), rows[cand_r],
+            jnp.repeat(loc_src, Q), map_to_local(g2l, negs),
+            method=NCNPredictor.score_from_rows,
+        ).reshape(B, Q)
+        s, c = mrr_sum_count(
+            pos, neg,
+            neg_valid=(batch.neg_batch_list != PADDED_NODE_ID) & found.reshape(B, Q),
+            edge_valid=batch.edge_valid,
+        )
+        raw = batch.edge_x if batch.edge_x is not None else jnp.zeros(
+            (B, 0)
+        )
+        mem_state = tgn_store_messages(
+            mem_state, batch.edge_src, batch.edge_dst, batch.edge_time, raw,
+            batch.edge_valid,
+        )
+        nodes = jnp.concatenate([batch.edge_src, batch.edge_dst])
+        nodes = jnp.where(
+            jnp.concatenate([batch.edge_valid, batch.edge_valid]),
+            nodes, num_nodes,
+        )
+        mem_state = memory.apply(
+            params["mem"], mem_state, nodes, method=TGNMemory.flush
+        )
+        return (params, mem_state), (s, c)
+
+    eval_epoch, ehstates = scanned_hook_epoch(stream, hm, "val", dg, eval_core)
+    eval_eps = _time_scanned_eval(
+        args, num_edges, eval_epoch, (params, memory.init_state()), ehstates
+    )
+    return eps, eval_eps
 
 
 def bench_graphmixer(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
@@ -437,7 +655,7 @@ def bench_graphmixer(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
     # (/root/reference/examples/linkproppred/graphmixer.py:46-51).
     K, time_gap, time_dim, embed_dim = 20, 2000, 100, 100
     node_x = _node_x(num_nodes, NODE_DIM["graphmixer"])
-    hm = _base_hm(dg)
+    hm = _base_hm(dg, args, num_edges)
     seed_keys = ["edge_src", "edge_dst", "neg"]
     time_keys = ["edge_time", "edge_time", "neg_time"]
     hm.register_shared(
@@ -450,6 +668,12 @@ def bench_graphmixer(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
         "train",
         TimeGapNeighborMeanHook(s_src, s_dst, s_t, node_x, time_gap, seed_keys),
     )
+    if getattr(args, "with_eval", False):
+        hm.register(
+            "val",
+            TimeGapNeighborMeanHook(s_src, s_dst, s_t, node_x, time_gap,
+                                    seed_keys),
+        )
     encoder = GraphMixerEncoder(
         time_dim=time_dim, embed_dim=embed_dim, num_tokens=K,
         node_dim=node_x.shape[1], edge_dim=edge_dim, dropout=0.0,
@@ -491,7 +715,43 @@ def bench_graphmixer(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
         return (params, opt_state), loss
 
     epoch, hstates = scanned_hook_epoch(stream, hm, "train", dg, core)
-    return _time_scanned_epoch(args, num_edges, epoch, (params, opt_state), hstates)
+    eps = _time_scanned_epoch(args, num_edges, epoch, (params, opt_state),
+                              hstates)
+    if not getattr(args, "with_eval", False):
+        return eps
+
+    # Scanned candidate-list eval, mirroring examples/linkproppred/
+    # graphmixer.py eval_step: z covers every hook seed row (src, dst,
+    # unique candidates); scoring is z-row gathers via seed_lookup.
+    from tgm_tpu.constants import PADDED_NODE_ID
+    from tgm_tpu.eval.metrics import mrr_sum_count
+    from tgm_tpu.hooks import candidate_rows, seed_lookup
+
+    def eval_core(carry, batch):
+        (params,) = carry
+        B = batch.edge_src.shape[0]
+        Q = batch.neg_batch_list.shape[1]
+        z = encoder.apply(params["enc"], batch, node_x)
+        pos = decoder.apply(params["dec"], z[:B], z[B : 2 * B])
+        negs = batch.neg_batch_list.reshape(-1)
+        lut = seed_lookup(batch.seed_nids[0], num_nodes)
+        cand_r, found = candidate_rows(lut, negs, z.shape[0])
+        neg = decoder.apply(
+            params["dec"],
+            jnp.repeat(z[:B][:, None, :], Q, 1).reshape(B * Q, -1),
+            z[cand_r],
+        ).reshape(B, Q)
+        s, c = mrr_sum_count(
+            pos, neg,
+            neg_valid=(batch.neg_batch_list != PADDED_NODE_ID) & found.reshape(B, Q),
+            edge_valid=batch.edge_valid,
+        )
+        return (params,), (s, c)
+
+    eval_epoch, ehstates = scanned_hook_epoch(stream, hm, "val", dg, eval_core)
+    eval_eps = _time_scanned_eval(args, num_edges, eval_epoch, (params,),
+                                  ehstates)
+    return eps, eval_eps
 
 
 def bench_gclstm(args, data, num_nodes, num_edges) -> float:
@@ -601,7 +861,52 @@ def bench_gclstm(args, data, num_nodes, num_edges) -> float:
         carry, losses, counts = epoch(carry)
         jax.block_until_ready(losses)
         times.append(time.perf_counter() - t0)
-    return num_edges / min(times)
+    eps = num_edges / min(times)
+    if not getattr(args, "with_eval", False):
+        return eps
+
+    # Scanned candidate-list eval through the SAME merged snapshot schedule
+    # (examples/_snapshot_common.py make_eval_core): snapshots advance the
+    # recurrence, event batches score (B, Q) candidates from the latest z.
+    from jax import lax
+
+    from tgm_tpu.constants import PADDED_NODE_ID
+    from tgm_tpu.eval.metrics import mrr_sum_count
+
+    cands_d = jnp.asarray(_eval_candidates(train_dg, edge_stream.num_batches * B))
+    Q = EVAL_Q
+
+    def eval_edge_core(carry, batch, idx):
+        params, opt_state, rec, z, hstate = carry
+        rows = lax.dynamic_slice(cands_d, (idx * B, 0), (B, Q))
+        pos = decoder.apply(
+            params["dec"], z[safe(batch.edge_src)], z[safe(batch.edge_dst)]
+        )
+        negs = decoder.apply(
+            params["dec"],
+            jnp.repeat(z[safe(batch.edge_src)][:, None, :], Q, 1).reshape(B * Q, -1),
+            z[safe(rows.reshape(-1))],
+        ).reshape(B, Q)
+        s, c = mrr_sum_count(
+            pos, negs, neg_valid=rows != PADDED_NODE_ID,
+            edge_valid=batch.edge_valid,
+        )
+        return carry, (s, c)
+
+    eval_epoch = scanned_snapshot_epoch(
+        kinds, idxs, snap_stream.batch_at, edge_stream.batch_at,
+        snapshot_core, eval_edge_core, donate_carry=False,
+    )
+    carry = fresh()
+    carry, s, c = eval_epoch(carry)  # compile + warm
+    jax.block_until_ready(s)
+    times = []
+    for _ in range(max(args.epochs, 1)):
+        t0 = time.perf_counter()
+        carry, s, c = eval_epoch(carry)
+        jax.block_until_ready(s)
+        times.append(time.perf_counter() - t0)
+    return eps, num_edges / min(times)
 
 
 def main() -> None:
@@ -615,6 +920,10 @@ def main() -> None:
     p.add_argument("--snapshot-ticks", type=int, default=86_400,
                    help="gclstm snapshot width in stream seconds (86400 = "
                    "daily over wiki's ~31-day span)")
+    p.add_argument("--with-eval", action="store_true",
+                   help="also time a scanned candidate-list eval epoch per "
+                   "model (Q=20 synthetic TGB-style lists; adds a "
+                   "*_eval_edges_per_sec JSON line)")
     args = p.parse_args()
 
     import os
@@ -653,6 +962,9 @@ def main() -> None:
             }[model]
             eps = fn(args, dg, stream, num_nodes, num_edges, edge_dim)
             execution = "scanned_hook_api"
+        eval_eps = None
+        if isinstance(eps, tuple):
+            eps, eval_eps = eps
         out = {
             "metric": f"{model}_train_edges_per_sec_tgbl_wiki_shape",
             "value": round(eps, 1),
@@ -666,6 +978,14 @@ def main() -> None:
             out["vs_reference_cpu_measured"] = round(eps / base, 3)
             out["reference_cpu_edges_per_sec"] = round(base, 1)
         print(json.dumps(out))
+        if eval_eps is not None:
+            print(json.dumps({
+                "metric": f"{model}_eval_edges_per_sec_tgbl_wiki_shape",
+                "value": round(eval_eps, 1),
+                "unit": "edges/s",
+                "execution": execution,
+                "eval_candidates_per_edge": EVAL_Q,
+            }))
 
 
 if __name__ == "__main__":

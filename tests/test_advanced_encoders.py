@@ -68,6 +68,74 @@ def test_dygformer_seq_trim_and_pad():
     assert zs.shape == (3, 10)
 
 
+def test_dygformer_encode_pairs_matches_two_calls():
+    """encode_pairs == the two separate (src,dst)/(src,neg) __call__s."""
+    m = DyGFormer(
+        node_feat_dim=5, edge_x_dim=4, time_feat_dim=8, channel_embedding_dim=16,
+        output_dim=20, patch_size=2, num_layers=2, max_input_sequence_length=8,
+        dropout=0.0,
+    )
+    B, K = 3, 7
+    node_x, src, dst, t, nbrs2, nt2, nx2 = _dyg_inputs(B=B, K=K)
+    rng = np.random.default_rng(7)
+    neg = jnp.asarray(rng.integers(0, node_x.shape[0], B), jnp.int32)
+    nbrs_n = rng.integers(0, node_x.shape[0], (B, K))
+    nbrs_n[rng.random((B, K)) < 0.3] = PADDED_NODE_ID
+    nbrs3 = jnp.concatenate([nbrs2, jnp.asarray(nbrs_n, jnp.int32)])
+    nt3 = jnp.concatenate([nt2, jnp.asarray(rng.integers(0, 50, (B, K)), jnp.int32)])
+    nx3 = jnp.concatenate(
+        [nx2, jnp.asarray(rng.normal(size=(B, K, 4)).astype(np.float32))]
+    )
+
+    params = m.init(KEY, node_x, src, dst, t, nbrs2, nt2, nx2)
+    zs, zd = m.apply(params, node_x, src, dst, t, nbrs3[: 2 * B], nt3[: 2 * B],
+                     nx3[: 2 * B])
+    zs2, zn = m.apply(
+        params, node_x, src, neg, t,
+        jnp.concatenate([nbrs3[:B], nbrs3[2 * B :]]),
+        jnp.concatenate([nt3[:B], nt3[2 * B :]]),
+        jnp.concatenate([nx3[:B], nx3[2 * B :]]),
+    )
+    fs, fd, fs2, fn = m.apply(
+        params, node_x, src, dst, neg, t, nbrs3, nt3, nx3,
+        method=DyGFormer.encode_pairs,
+    )
+    np.testing.assert_allclose(np.asarray(fs), np.asarray(zs), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fd), np.asarray(zd), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fs2), np.asarray(zs2), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fn), np.asarray(zn), rtol=2e-5, atol=2e-5)
+
+
+def test_dygformer_fused_attention_matches_flax_mha():
+    """fused_attn with converted params == the flax-MHA transformer."""
+    from tgm_tpu.nn.encoder.dygformer import fuse_attention_params
+
+    kw = dict(
+        node_feat_dim=5, edge_x_dim=4, time_feat_dim=8, channel_embedding_dim=16,
+        output_dim=20, patch_size=2, num_layers=2, max_input_sequence_length=8,
+        dropout=0.0,
+    )
+    m = DyGFormer(**kw)
+    mf = DyGFormer(**kw, fused_attn=True)
+    args = _dyg_inputs()
+    params = m.init(KEY, *args)
+    zs, zd = m.apply(params, *args)
+
+    fused = jax.tree_util.tree_map(lambda x: x, params)  # deep-ish copy
+    import flax
+
+    p = flax.core.unfreeze(fused)["params"]
+    for tr_name in [k for k in p if k.startswith("transformers_")]:
+        tr = p[tr_name]
+        mha_name = [k for k in tr if "MultiHeadDotProductAttention" in k][0]
+        tr["FusedSelfAttention_0"] = fuse_attention_params(tr.pop(mha_name))
+    fused = {"params": p}
+
+    fzs, fzd = mf.apply(fused, *args)
+    np.testing.assert_allclose(np.asarray(fzs), np.asarray(zs), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fzd), np.asarray(zd), rtol=2e-5, atol=2e-5)
+
+
 # ------------------------------------------------------------------ #
 # TPNet random projections
 # ------------------------------------------------------------------ #
@@ -184,6 +252,73 @@ def test_ncn_common_neighbor_signal():
     A = _dense_adj(es, ed, 4, None)
     cn = np.asarray(A[0] * A[1])
     assert cn[2] == 1.0 and cn.sum() == 1.0
+
+
+def _ncn_subgraph_setup(S=9, K=4, U=14, D=5, seed=3):
+    """Structured (seed, nbr) subgraph like the TNCN hook path feeds."""
+    rng = np.random.default_rng(seed)
+    seeds = rng.integers(0, U, S).astype(np.int32)
+    nbrs = rng.integers(0, U, (S, K)).astype(np.int32)
+    valid = rng.random((S, K)) < 0.8
+    x = rng.normal(size=(U, D)).astype(np.float32)
+    # Edge list form (what _dense_adj consumes).
+    es = np.repeat(seeds, K)
+    ed = nbrs.reshape(-1)
+    ev = valid.reshape(-1)
+    return (jnp.asarray(seeds), jnp.asarray(nbrs), jnp.asarray(valid),
+            jnp.asarray(x), jnp.asarray(es), jnp.asarray(ed), jnp.asarray(ev))
+
+
+def test_ncn_rows_match_dense_adj():
+    """ncn_adjacency_rows == slicing the scatter-built dense adjacency,
+    bit-exact (all intermediates are exact small-int counts in f32)."""
+    from tgm_tpu.nn.decoder.ncnpred import _dense_adj, ncn_adjacency_rows
+
+    seeds, nbrs, valid, x, es, ed, ev = _ncn_subgraph_setup()
+    U = x.shape[0]
+    A = _dense_adj(es, ed, U, ev)
+    rows = ncn_adjacency_rows(seeds, nbrs, valid, U)
+    np.testing.assert_array_equal(np.asarray(rows), np.asarray(A[seeds]))
+
+
+def test_ncn_rows_duplicate_seed_consolidation():
+    """A node seeded in two rows gets BOTH rows' edges in each of its rows."""
+    from tgm_tpu.nn.decoder.ncnpred import _dense_adj, ncn_adjacency_rows
+
+    seeds = jnp.array([5, 5, 2], jnp.int32)  # node 5 seeded twice
+    nbrs = jnp.array([[1, 2], [3, 1], [5, 0]], jnp.int32)
+    valid = jnp.ones((3, 2), bool)
+    U = 6
+    es = jnp.repeat(seeds, 2)
+    ed = nbrs.reshape(-1)
+    A = _dense_adj(es, ed, U, None)
+    rows = ncn_adjacency_rows(seeds, nbrs, valid, U)
+    np.testing.assert_array_equal(np.asarray(rows), np.asarray(A[seeds]))
+    # both duplicate rows carry the union: nbrs {1, 2, 3} + nbr-side edge 2->5
+    assert np.asarray(rows)[0, 1] == 2.0  # node 1 twice (rows 0 and 1)
+    assert np.asarray(rows)[0, 2] == 2.0  # node 2 via row 0 + seed-2's nbr 5
+
+
+@pytest.mark.parametrize("k", [2, 4])
+def test_ncn_score_from_rows_matches_call(k):
+    """score_from_rows(precomputed rows) == __call__(dense adjacency)."""
+    from tgm_tpu.nn.decoder.ncnpred import ncn_adjacency_rows
+
+    seeds, nbrs, valid, x, es, ed, ev = _ncn_subgraph_setup()
+    U, D = x.shape
+    S = seeds.shape[0]
+    B = 3
+    m = NCNPredictor(in_channels=D, hidden_dim=16, out_channels=1, k=k)
+    # queries: seed rows 0..B-1 vs rows B..2B-1 (their local node ids)
+    ti, tj = seeds[:B], seeds[B : 2 * B]
+    params = m.init(KEY, x, es, ed, ti, tj)
+    ref = m.apply(params, x, es, ed, ti, tj, edge_valid=ev)
+    rows = ncn_adjacency_rows(seeds, nbrs, valid, U)
+    fast = m.apply(
+        params, x, rows[:B], rows[B : 2 * B], ti, tj,
+        method=NCNPredictor.score_from_rows,
+    )
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(ref))
 
 
 def test_ncn_invalid_k():

@@ -127,6 +127,60 @@ def test_stale_resync_runs_and_merges():
         assert np.asarray(a).shape == np.asarray(b).shape
 
 
+def test_pipelined_eval_exact():
+    """Pipelined span-handoff eval == sequential eval scan, bit-exact."""
+    from tgm_tpu.parallel.temporal import pipelined_eval_epoch
+
+    pipe, stream = _setup(num_batches=7, bsize=16)  # uneven spans on purpose
+    carry0 = pipe.flush_all(pipe.init_carry(jax.random.PRNGKey(0)))
+    nb = stream.num_batches
+    Q = 5
+    cands = jax.random.randint(
+        jax.random.PRNGKey(1), (nb * 16, Q), 0, 32, dtype=jnp.int32
+    )
+
+    def score_fn(c, i):
+        rows = jax.lax.dynamic_slice(cands, (i * 16, 0), (16, Q))
+        return pipe.eval_step(c, stream.batch_at(i), rows)
+
+    def advance_fn(c, i):
+        return pipe.eval_advance_state(c, stream.batch_at(i))
+
+    def chain(c):
+        return jax.lax.scan(score_fn, c, jnp.arange(nb))
+
+    c_chain, (sum_chain, cnt_chain) = jax.jit(chain)(carry0)
+
+    outs, valid = jax.jit(
+        lambda c: pipelined_eval_epoch(advance_fn, score_fn, c, nb, 3)
+    )(carry0)
+    sums, cnts = outs
+    v = np.asarray(valid)
+    got_sums = np.asarray(sums)[v]
+    got_cnts = np.asarray(cnts)[v]
+    # Spans are contiguous and in order, so the masked concat is the epoch.
+    np.testing.assert_array_equal(got_sums, np.asarray(sum_chain))
+    np.testing.assert_array_equal(got_cnts, np.asarray(cnt_chain))
+
+
+def test_eval_advance_state_matches_eval_step_state():
+    """advance_fn evolves the carry exactly as the full eval step."""
+    pipe, stream = _setup(num_batches=4, bsize=16)
+    carry = pipe.flush_all(pipe.init_carry(jax.random.PRNGKey(0)))
+    Q = 5
+    cands = jax.random.randint(jax.random.PRNGKey(1), (16, Q), 0, 32,
+                               dtype=jnp.int32)
+    b = stream.batch_at(0)
+    c_full, _ = jax.jit(lambda c: pipe.eval_step(c, b, cands))(carry)
+    c_adv = jax.jit(lambda c: pipe.eval_advance_state(c, b))(carry)
+    for a, bb in zip(jax.tree_util.tree_leaves(c_full.mem_state),
+                     jax.tree_util.tree_leaves(c_adv.mem_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+    for a, bb in zip(jax.tree_util.tree_leaves(c_full.rec_state),
+                     jax.tree_util.tree_leaves(c_adv.rec_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+
+
 def test_tgat_pipeline_scan_learns():
     import jax
     import jax.numpy as jnp

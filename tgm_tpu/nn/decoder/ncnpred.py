@@ -38,6 +38,59 @@ def _dense_adj(
     return flat.reshape(num_nodes, num_nodes)
 
 
+def ncn_adjacency_rows(
+    seeds_local: jnp.ndarray,  # (S,) local ids of the hook's seed rows
+    nbrs_local: jnp.ndarray,  # (S, K) local ids of each seed's neighbors
+    nbr_valid: jnp.ndarray,  # (S, K) bool
+    num_local: int,  # U — size of the local id space
+) -> jnp.ndarray:
+    """Adjacency rows ``A[seeds_local]`` (S, U) without building (U, U).
+
+    The local subgraph the TNCN example feeds ``NCNPredictor`` is structured:
+    every edge is (seed_r, nbr_{r,k}). A query endpoint is always a seed, so
+    only the S seed rows of the symmetric multiplicity adjacency are ever
+    read — and each decomposes into
+
+    * seed-side mass: its own neighbor slots, consolidated over duplicate
+      seed rows of the same node (``S_eq @ part1``), and
+    * neighbor-side mass: edges where the node appears as someone's
+      neighbor, landing on that seed's column (``gamma @ onehot_seed``).
+
+    Everything is equality-mask compares + two MXU matmuls — no scatter, no
+    (U, U) materialization (the previous dense build scatter-added 2·S·K
+    elements into a U² flat array per batch; XLA scatters serialize on TPU,
+    CLAUDE.md). All intermediates are exact small-integer counts in f32, so
+    the rows are BIT-EXACT equal to slicing the dense adjacency
+    (tests/test_decoders.py::test_ncn_rows_match_dense_adj).
+
+    Reference semantics: ``_sparse_sliding`` row slicing of the coalesced
+    symmetric COO adjacency (/root/reference/tgm/nn/decoder/ncnpred.py:6-50,
+    174-201).
+    """
+    S, K = nbrs_local.shape
+    w = nbr_valid.astype(jnp.float32)
+    iota = jnp.arange(num_local, dtype=nbrs_local.dtype)
+
+    # part1[r, u] = sum_k w[r, k] * [nbr[r, k] == u]   (fused compare-add)
+    part1 = jnp.sum(
+        (nbrs_local[:, :, None] == iota[None, None, :]) * w[:, :, None],
+        axis=1,
+    )
+    # Consolidate duplicate seed rows of the same node.
+    s_eq = (seeds_local[:, None] == seeds_local[None, :]).astype(jnp.float32)
+    # gamma[r, r'] = sum_k w[r', k] * [nbr[r', k] == seed[r]]
+    gamma = jnp.sum(
+        (nbrs_local[None, :, :] == seeds_local[:, None, None])
+        * w[None, :, :],
+        axis=2,
+    )
+    onehot_seed = (seeds_local[:, None] == iota[None, :]).astype(jnp.float32)
+    rows = s_eq @ part1 + gamma @ onehot_seed
+    # Padded/invalid locals (-1) contribute nothing and read nothing.
+    valid_seed = (seeds_local >= 0) & (seeds_local < num_local)
+    return jnp.where(valid_seed[:, None], rows, 0.0)
+
+
 def _last_occurrence_mask(vals: jnp.ndarray, num_nodes: int) -> jnp.ndarray:
     """True where row r is the LAST occurrence of vals[r] within vals."""
     B = vals.shape[0]
@@ -75,11 +128,13 @@ class NCNPredictor(nn.Module):
     def get_cn_emb(
         self,
         x: jnp.ndarray,  # (U, D)
-        A: jnp.ndarray,  # (U, U) dense adjacency
+        A: Optional[jnp.ndarray],  # (U, U) dense adjacency (None: rows given)
         tar_i: jnp.ndarray,  # (B,)
         tar_j: jnp.ndarray,  # (B,)
         last_update: Optional[jnp.ndarray] = None,
         pos_t: Optional[jnp.ndarray] = None,
+        row1_i: Optional[jnp.ndarray] = None,  # (B, U) precomputed A[tar_i]
+        row1_j: Optional[jnp.ndarray] = None,  # (B, U) precomputed A[tar_j]
     ) -> jnp.ndarray:
         U = x.shape[0]
         B = tar_i.shape[0]
@@ -92,7 +147,8 @@ class NCNPredictor(nn.Module):
                 raise RuntimeError("Provide time info to perform time decay")
             decay = jnp.exp(-(pos_t[:, None] - last_update[None, :]).astype(jnp.float32) / 10000.0)
 
-        row1_i, row1_j = A[i], A[j]  # (B, U)
+        if row1_i is None:
+            row1_i, row1_j = A[i], A[j]  # (B, U)
         if self.reference_dup_rows:
             mi = _last_occurrence_mask(i, U).astype(x.dtype)[:, None]
             mj = _last_occurrence_mask(j, U).astype(x.dtype)[:, None]
@@ -177,5 +233,32 @@ class NCNPredictor(nn.Module):
         xj = x[jnp.clip(tar_j, 0, U - 1)]
         xij = xi * xj
         cn_emb = self.get_cn_emb(x, A, tar_i, tar_j, last_update, edge_time)
+        xs = jnp.concatenate([xij, cn_emb], axis=-1)
+        return self.xsmlp(xs).reshape(-1)
+
+    def score_from_rows(
+        self,
+        x: jnp.ndarray,  # (U, D) local node embeddings
+        row1_i: jnp.ndarray,  # (B, U) adjacency rows of the query src
+        row1_j: jnp.ndarray,  # (B, U) adjacency rows of the query dst
+        tar_i: jnp.ndarray,  # (B,) query src (local ids)
+        tar_j: jnp.ndarray,  # (B,) query dst (local ids)
+        last_update: Optional[jnp.ndarray] = None,
+        edge_time: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Score with precomputed adjacency rows (``ncn_adjacency_rows``) —
+        the TPU hot path for k in {2, 4}: no (U, U) adjacency is ever built
+        and the rows for all (src, dst, neg) seeds are shared between the
+        positive and negative calls. k=8 needs A@A diagonals; use __call__."""
+        if self.k == 8:
+            raise ValueError("score_from_rows supports k in {2, 4}")
+        U = x.shape[0]
+        xi = x[jnp.clip(tar_i, 0, U - 1)]
+        xj = x[jnp.clip(tar_j, 0, U - 1)]
+        xij = xi * xj
+        cn_emb = self.get_cn_emb(
+            x, None, tar_i, tar_j, last_update, edge_time,
+            row1_i=row1_i, row1_j=row1_j,
+        )
         xs = jnp.concatenate([xij, cn_emb], axis=-1)
         return self.xsmlp(xs).reshape(-1)

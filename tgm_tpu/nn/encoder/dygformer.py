@@ -10,12 +10,30 @@ equality masks), zeroed on padding.
 
 TPU note: everything is dense (B, L, d) einsums; the (B, L, L) co-occurrence
 masks are batched equality compares on the VPU — no dynamic shapes.
+
+Two TPU throughput levers, both OFF by default (defaults preserve the torch
+parity surface; ``bench.py --model dygformer`` / the example turn them on):
+
+* ``fused_attn`` — replace flax ``MultiHeadDotProductAttention`` (three
+  DenseGeneral dispatches, attention internals in compute dtype) with
+  ``FusedSelfAttention``: ONE (D, 3D) QKV matmul and explicit einsum core
+  with f32 accumulation + f32 softmax. Same math; different param tree
+  (see ``fuse_attention_params`` to convert existing checkpoints).
+* ``encode_pairs`` — one forward for BOTH the (src, dst) and (src, neg)
+  pairs straight off the stacked (3B, K) hook output: the src channels are
+  projected once instead of twice, the transformer runs as one (2B, 2P, D)
+  dispatch instead of two (B, 2P, D), and — unlike the measured-negative
+  r3 "batched channel projections" (36.4k vs 45.9k edges/s,
+  docs/performance.md) — NO raw (·, L, d_E) feature arrays are
+  concatenated: the hook's (3B, K, d_E) array feeds the projections in
+  place and only projected (B, P, 50) patches are sliced/joined.
 """
 
 from __future__ import annotations
 
 from typing import Any, Set, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -55,22 +73,92 @@ class NeighborCooccurrenceEncoder(nn.Module):
         return src_feat, dst_feat
 
 
+class FusedSelfAttention(nn.Module):
+    """Self-attention with one fused QKV matmul and explicit einsum core.
+
+    Same math as ``nn.MultiHeadDotProductAttention`` (torch
+    ``nn.MultiheadAttention`` in the reference, dygformer.py:404-431) but
+    shaped for the MXU: q/k/v come out of ONE (D, 3D) projection instead of
+    three DenseGenerals, the score/value dots run on ``dtype`` (bf16)
+    operands with f32 accumulation, and the softmax stays f32.
+    """
+
+    dim: int
+    num_heads: int
+    dropout: float = 0.1
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        B, S, D = h.shape
+        H = self.num_heads
+        dh = D // H
+        qkv = nn.Dense(3 * D, dtype=self.dtype, name="qkv")(h)  # (B, S, 3D)
+        q = qkv[..., :D].reshape(B, S, H, dh)
+        k = qkv[..., D : 2 * D].reshape(B, S, H, dh)
+        v = qkv[..., 2 * D :].reshape(B, S, H, dh)
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * (dh**-0.5)
+        a = jax.nn.softmax(logits, axis=-1)
+        a = nn.Dropout(self.dropout)(a, deterministic=deterministic)
+        out = jnp.einsum(
+            "bhqk,bkhd->bqhd",
+            a.astype(qkv.dtype),
+            v,
+            preferred_element_type=jnp.float32,
+        ).reshape(B, S, D)
+        return nn.Dense(D, dtype=self.dtype, name="out")(out)
+
+
+def fuse_attention_params(mha_params: dict) -> dict:
+    """Convert a flax ``MultiHeadDotProductAttention`` param subtree to the
+    ``FusedSelfAttention`` layout (qkv kernel (D, 3D), out kernel (D, D))."""
+    D = mha_params["out"]["kernel"].shape[-1]
+
+    def flat_qkv(p):  # (D, H, dh) -> (D, D)
+        return p["kernel"].reshape(D, D), p["bias"].reshape(D)
+
+    qk, qb = flat_qkv(mha_params["query"])
+    kk, kb = flat_qkv(mha_params["key"])
+    vk, vb = flat_qkv(mha_params["value"])
+    return {
+        "qkv": {
+            "kernel": jnp.concatenate([qk, kk, vk], axis=1),
+            "bias": jnp.concatenate([qb, kb, vb]),
+        },
+        "out": {
+            "kernel": mha_params["out"]["kernel"].reshape(D, D),
+            "bias": mha_params["out"]["bias"],
+        },
+    }
+
+
 class TransformerEncoder(nn.Module):
     attention_dim: int
     num_heads: int
     dropout: float = 0.1
     dtype: Any = None  # bf16 compute (params stay f32) when set
+    fused_attn: bool = False
 
     @nn.compact
     def __call__(self, inputs: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         # LayerNorms stay f32 (stat stability); matmuls run in ``dtype``.
         h = nn.LayerNorm(epsilon=1e-5)(inputs)
-        attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads,
-            qkv_features=self.attention_dim,
-            dropout_rate=self.dropout,
-            dtype=self.dtype,
-        )(h, h, deterministic=deterministic)
+        if self.fused_attn:
+            attn = FusedSelfAttention(
+                dim=self.attention_dim,
+                num_heads=self.num_heads,
+                dropout=self.dropout,
+                dtype=self.dtype,
+            )(h, deterministic=deterministic)
+        else:
+            attn = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads,
+                qkv_features=self.attention_dim,
+                dropout_rate=self.dropout,
+                dtype=self.dtype,
+            )(h, h, deterministic=deterministic)
         out = inputs + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
 
         h = nn.LayerNorm(epsilon=1e-5)(out)
@@ -97,6 +185,10 @@ class DyGFormer(nn.Module):
     # The DyGFormer step is MXU-compute-bound (profiled at ~57% of the f32
     # matmul peak on v5e at wiki shapes) and v5e bf16 peak is ~4x f32.
     compute_bf16: bool = False
+    # One (D, 3D) QKV matmul + explicit einsum attention (see module
+    # docstring). Changes the attention param tree; fuse_attention_params
+    # converts flax-MHA checkpoints.
+    fused_attn: bool = False
 
     requires: Set[str] = frozenset({"nbr_nids", "nbr_edge_time", "nbr_edge_x"})
 
@@ -119,6 +211,7 @@ class DyGFormer(nn.Module):
                 num_heads=self.num_heads,
                 dropout=self.dropout,
                 dtype=dt,
+                fused_attn=self.fused_attn,
             )
             for _ in range(self.num_layers)
         ]
@@ -139,6 +232,28 @@ class DyGFormer(nn.Module):
         B, L, D = feat.shape
         return feat.reshape(B, self.num_patches, self.patch_size * D)
 
+    def _side(self, seed, seed_time, nbrs, ntime, nfeat):
+        """Prepend the seed to its own sequence and pad to L (reference
+        dygformer.py:277-285)."""
+        R = seed.shape[0]
+        nbrs = jnp.concatenate([seed[:, None], nbrs], axis=1)
+        ntime = jnp.concatenate([seed_time[:, None], ntime], axis=1)
+        pad = jnp.zeros((R, 1, nfeat.shape[-1]), nfeat.dtype)
+        nfeat = jnp.concatenate([pad, nfeat], axis=1)
+        return (
+            self._to_seq_len(nbrs, PADDED_NODE_ID),
+            self._to_seq_len(ntime, 0),
+            self._to_seq_len(nfeat),
+        )
+
+    def _node_feats(self, node_x, nbrs):
+        f = node_x[jnp.maximum(nbrs, 0)]
+        return jnp.where((nbrs == PADDED_NODE_ID)[..., None], 0.0, f)
+
+    def _time_feats(self, nbrs, ntime, seed_time):
+        f = self.time_encoder((seed_time[:, None] - ntime).astype(jnp.float32))
+        return jnp.where((nbrs == PADDED_NODE_ID)[..., None], 0.0, f)
+
     def __call__(
         self,
         node_x: jnp.ndarray,  # (num_nodes, d_N)
@@ -152,28 +267,15 @@ class DyGFormer(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         B = edge_src.shape[0]
 
-        def side(seed, nbrs, ntime, nfeat):
-            nbrs = jnp.concatenate([seed[:, None], nbrs], axis=1)
-            ntime = jnp.concatenate([edge_time[:, None], ntime], axis=1)
-            pad = jnp.zeros((B, 1, nfeat.shape[-1]), nfeat.dtype)
-            nfeat = jnp.concatenate([pad, nfeat], axis=1)
-            return (
-                self._to_seq_len(nbrs, PADDED_NODE_ID),
-                self._to_seq_len(ntime, 0),
-                self._to_seq_len(nfeat),
-            )
-
-        s_n, s_t, s_e = side(
-            edge_src, neighbours[:B], neighbours_time[:B], neighbours_edge_feat[:B]
+        s_n, s_t, s_e = self._side(
+            edge_src, edge_time,
+            neighbours[:B], neighbours_time[:B], neighbours_edge_feat[:B],
         )
-        d_n, d_t, d_e = side(
-            edge_dst, neighbours[B : 2 * B], neighbours_time[B : 2 * B],
+        d_n, d_t, d_e = self._side(
+            edge_dst, edge_time,
+            neighbours[B : 2 * B], neighbours_time[B : 2 * B],
             neighbours_edge_feat[B : 2 * B],
         )
-
-        def node_feats(nbrs):
-            f = node_x[jnp.maximum(nbrs, 0)]
-            return jnp.where((nbrs == PADDED_NODE_ID)[..., None], 0.0, f)
 
         s_cooc, d_cooc = self.co_occurrence_encoder(s_n, d_n)
 
@@ -182,16 +284,12 @@ class DyGFormer(nn.Module):
         # edges/s) — the four doubled concats (incl. the (2B, L, De) feature
         # array) relayout-copy more than the halved dispatch count saves,
         # the same failure mode as the measured-negative pos/neg call fusion
-        # (docs/performance.md).
-        def time_feats(nbrs, ntime):
-            f = self.time_encoder((edge_time[:, None] - ntime).astype(jnp.float32))
-            return jnp.where((nbrs == PADDED_NODE_ID)[..., None], 0.0, f)
-
+        # (docs/performance.md). encode_pairs avoids the concats entirely.
         def channels(nbrs, ntime, nfeat, cooc):
             return (
-                self.proj_node(self._patches(node_feats(nbrs))),
+                self.proj_node(self._patches(self._node_feats(node_x, nbrs))),
                 self.proj_edge(self._patches(nfeat)),
-                self.proj_time(self._patches(time_feats(nbrs, ntime))),
+                self.proj_time(self._patches(self._time_feats(nbrs, ntime, edge_time))),
                 self.proj_cooc(self._patches(cooc)),
             )
 
@@ -210,3 +308,79 @@ class DyGFormer(nn.Module):
         src_repr = jnp.mean(patches[:, :P, :], axis=1)
         dst_repr = jnp.mean(patches[:, P:, :], axis=1)
         return self.output_layer(src_repr), self.output_layer(dst_repr)
+
+    def encode_pairs(
+        self,
+        node_x: jnp.ndarray,  # (num_nodes, d_N)
+        edge_src: jnp.ndarray,  # (B,)
+        edge_dst: jnp.ndarray,  # (B,)
+        neg: jnp.ndarray,  # (B,)
+        edge_time: jnp.ndarray,  # (B,)
+        neighbours: jnp.ndarray,  # (3B, K) [src; dst; neg] rows from the hook
+        neighbours_time: jnp.ndarray,  # (3B, K)
+        neighbours_edge_feat: jnp.ndarray,  # (3B, K, d_E)
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """One forward for BOTH training pairs: (src, dst) and (src, neg).
+
+        Mathematically identical to two ``__call__`` invocations (the
+        reference example's pos/neg calls — both use the positive edge's
+        timestamp for the negative side, /root/reference/examples/
+        linkproppred/dygformer.py), but the src node/edge/time channels are
+        projected ONCE, the hook's stacked (3B, K[, d_E]) arrays feed the
+        projections without any slicing/concat of raw features, and the
+        transformer stack runs as a single (2B, 2P, D) dispatch.
+
+        Returns ``(z_src, z_dst, z_src2, z_neg)`` where ``z_src``/``z_src2``
+        are the src embeddings from the positive/negative pair (they differ:
+        the co-occurrence channel depends on the paired sequence).
+        """
+        B = edge_src.shape[0]
+        seeds = jnp.concatenate([edge_src, edge_dst, neg])
+        seed_times = jnp.concatenate([edge_time, edge_time, edge_time])
+
+        seq_n, seq_t, seq_e = self._side(
+            seeds, seed_times, neighbours, neighbours_time, neighbours_edge_feat
+        )
+
+        # Shared channels over all 3B sequences (src projected once).
+        ch_node = self.proj_node(self._patches(self._node_feats(node_x, seq_n)))
+        ch_edge = self.proj_edge(self._patches(seq_e))
+        ch_time = self.proj_time(
+            self._patches(self._time_feats(seq_n, seq_t, seed_times))
+        )
+
+        # Pair-dependent co-occurrence channel: left = src (twice),
+        # right = [dst; neg]. The inputs are (2B, L) int sequences — cheap.
+        s_n = seq_n[:B]
+        left_cooc, right_cooc = self.co_occurrence_encoder(
+            jnp.concatenate([s_n, s_n]), seq_n[B:]
+        )
+        left_cooc = self.proj_cooc(self._patches(left_cooc))  # (2B, P, C)
+        right_cooc = self.proj_cooc(self._patches(right_cooc))
+
+        # Join per pair: rows [0:B] = positive pair, [B:2B] = negative pair.
+        def pair_join(ch):  # (3B, P, C) -> (2B, 2P, C)
+            left = jnp.concatenate([ch[:B], ch[:B]])
+            return jnp.concatenate([left, ch[B:]], axis=1)
+
+        joined = [
+            pair_join(ch_node),
+            pair_join(ch_edge),
+            pair_join(ch_time),
+            jnp.concatenate([left_cooc, right_cooc], axis=1),
+        ]
+        P = self.num_patches
+        patches = jnp.stack(joined, axis=2).reshape(
+            2 * B, 2 * P, self.num_channels * self.channel_embedding_dim
+        )
+
+        for tr in self.transformers:
+            patches = tr(patches, deterministic=deterministic)
+
+        left_repr = jnp.mean(patches[:, :P, :], axis=1)
+        right_repr = jnp.mean(patches[:, P:, :], axis=1)
+        out = self.output_layer(jnp.concatenate([left_repr, right_repr]))
+        z_src, z_src2 = out[:B], out[B : 2 * B]
+        z_dst, z_neg = out[2 * B : 3 * B], out[3 * B :]
+        return z_src, z_dst, z_src2, z_neg

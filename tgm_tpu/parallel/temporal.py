@@ -177,6 +177,87 @@ def stale_resync_epoch(
     return merged, all_losses
 
 
+def pipelined_eval_epoch(
+    advance_fn,
+    score_fn,
+    carry,
+    num_batches: int,
+    n_spans: int,
+):
+    """EXACT temporal-parallel evaluation via pipelined span handoff.
+
+    Unlike training — where the parameter/optimizer chain makes every batch
+    depend on ALL previous batches, so any span overlap changes the
+    trajectory (see STALENESS.md) — evaluation splits cleanly:
+
+    * state evolution (memory commit + recency buffers) chains batch to
+      batch but is CHEAP and score-independent;
+    * candidate scoring is EXPENSIVE ((B·Q) encoder forwards per batch) and
+      feeds nothing back into the state.
+
+    So span d can start scoring the moment the cheap state chain hands it
+    span d−1's boundary state, overlapping all downstream scoring:
+
+    * phase A (sequential prologue): scan ``advance_fn`` over spans
+      0..n−2, recording each span's start carry — the "handoff" states;
+    * phase B (parallel): every span runs the full ``score_fn`` scan from
+      its start carry (the state advance is recomputed inside the span —
+      recompute beats waiting). Under a mesh the stacked span axis shards
+      across devices; on one device XLA still overlaps the independent
+      span programs' scoring.
+
+    Ideal wall-clock: ``T_advance·(n−1)/n + T_full/n`` vs ``T_full`` for
+    the chain schedule — measured T_advance/T_full on v5e gives the overlap
+    fraction (STALENESS.md round-4 section).
+
+    ``advance_fn(carry, i) -> carry`` must advance state EXACTLY as
+    ``score_fn(carry, i) -> (carry, out)`` does (e.g.
+    ``TGNPipeline.eval_advance_state`` vs ``eval_step``); outputs are then
+    bit-identical to the sequential scan
+    (tests/test_temporal_parallel.py::test_pipelined_eval_exact).
+
+    Returns (per-span outs stacked (spans, span_len, ...), valid mask
+    (spans, span_len)). Padded slots of shorter spans are zeros.
+    """
+    spans = split_spans(num_batches, n_spans)
+    starts = [carry]
+    c = carry
+    for s, e in spans[:-1]:
+        def body(cc, i):
+            return advance_fn(cc, i), jnp.float32(0)
+
+        c, _ = jax.lax.scan(body, c, jnp.arange(s, e))
+        starts.append(c)
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *starts)
+
+    span_len = max(e - s for s, e in spans)
+    s0 = jnp.asarray([s for s, _ in spans])
+    lens = jnp.asarray([e - s for s, e in spans])
+
+    def run_span(start, length, c0):
+        def body(cc, j):
+            i = jnp.minimum(start + j, num_batches - 1)
+
+            def do(cc):
+                return score_fn(cc, i)
+
+            def skip(cc):
+                _, out_shape = jax.eval_shape(score_fn, cc, i)
+                zeros = jax.tree_util.tree_map(
+                    lambda sh: jnp.zeros(sh.shape, sh.dtype), out_shape
+                )
+                return cc, zeros
+
+            return jax.lax.cond(j < length, do, skip, cc)
+
+        _, outs = jax.lax.scan(body, c0, jnp.arange(span_len))
+        return outs
+
+    outs = jax.vmap(run_span)(s0, lens, stacked)
+    valid = jnp.arange(span_len)[None, :] < lens[:, None]
+    return outs, valid
+
+
 def merge_stale_carries(carries: TGNCarry, num_nodes: int) -> TGNCarry:
     """Collapse the span axis: owner-wise state merge + parameter average.
 

@@ -504,6 +504,45 @@ class TGNPipeline(StaticTablesMixin):
             )
         return TGNCarry(params, opt_state, mem_state, rec_state, rng), (s, c)
 
+    def eval_advance_state(self, carry: TGNCarry, batch: DGBatch) -> TGNCarry:
+        """Advance ONLY the carried state (memory commit + recency buffers)
+        exactly as :meth:`eval_step` does, skipping candidate scoring.
+
+        This is the sequential spine of the pipelined temporal-parallel eval
+        schedule (parallel/temporal.py ``pipelined_eval_epoch``): state
+        evolution is param-reading but score-independent, so span d+1 can
+        start scoring as soon as this cheap chain reaches its boundary while
+        span d's expensive (B·Q)-candidate scoring is still in flight.
+        Bit-identical to the state produced by eval_step
+        (tests/test_temporal_parallel.py::test_pipelined_eval_exact).
+        """
+        params, opt_state, mem_state, rec_state, rng = carry
+        store = tgn_store_messages_packed if self.packed_state else tgn_store_messages
+        mem_state = store(
+            mem_state, batch.edge_src, batch.edge_dst, batch.edge_time,
+            self._raw_msg(batch), batch.edge_valid,
+        )
+        nodes = jnp.concatenate([batch.edge_src, batch.edge_dst])
+        nodes = jnp.where(
+            jnp.concatenate([batch.edge_valid, batch.edge_valid]), nodes, self.num_nodes
+        )
+        mem_state = self.memory.apply(
+            params["mem"], mem_state, nodes,
+            method=TGNMemory.flush_packed if self.packed_state else TGNMemory.flush,
+        )
+        if self.edge_x_full is not None:
+            u = recency_pk_update if self.packed_recency else recency_eid_update
+            rec_state = u(
+                rec_state, batch.edge_src, batch.edge_dst, batch.edge_time,
+                batch.edge_ids, batch.edge_valid, directed=False,
+            )
+        else:
+            rec_state = recency_update(
+                rec_state, batch.edge_src, batch.edge_dst, batch.edge_time,
+                batch.edge_x, batch.edge_valid, directed=False,
+            )
+        return TGNCarry(params, opt_state, mem_state, rec_state, rng)
+
     def flush_all(self, carry: TGNCarry) -> TGNCarry:
         """Train -> eval transition (flush pending messages, clear stores)."""
         mem_state = self.memory.apply(

@@ -243,6 +243,26 @@ def run_and_trace(args) -> str:
             jax.block_until_ready(losses)
         return args.trace_dir
 
+    if args.model in ("tncn", "tpnet", "ctan", "graphmixer"):
+        # Zoo models: run bench_zoo's builder with trace capture enabled
+        # (one post-warmup epoch traced via TGM_PROFILE_TRACE_DIR).
+        import bench_zoo
+
+        os.environ["TGM_PROFILE_TRACE_DIR"] = args.trace_dir
+        zargs = argparse.Namespace(
+            model=args.model, smoke=args.smoke, bsize=args.bsize, epochs=1,
+            snapshot_ticks=86_400,
+        )
+        fn = {
+            "tpnet": bench_zoo.bench_tpnet,
+            "ctan": bench_zoo.bench_ctan,
+            "tncn": bench_zoo.bench_tncn,
+            "graphmixer": bench_zoo.bench_graphmixer,
+        }[args.model]
+        eps = fn(zargs, dg, stream, nn_, ne, ed)
+        print(f"epoch (untraced): {eps:.0f} edges/s")
+        return args.trace_dir
+
     if args.model == "tgn-eval":
         # The metric-bearing path: scanned candidate-list eval epoch exactly
         # as bench.py --with-eval builds it (Q=20, TGB-style masked rank).
@@ -331,7 +351,8 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--bsize", type=int, default=200)
-    p.add_argument("--model", type=str, default="tgn", choices=["tgn", "tgn-hooks", "tgn-eval", "tgat", "dygformer"])
+    p.add_argument("--model", type=str, default="tgn", choices=["tgn", "tgn-hooks", "tgn-eval", "tgat", "dygformer",
+                            "tncn", "tpnet", "ctan", "graphmixer"])
     p.add_argument("--trace-dir", type=str, default="/tmp/tgm_trace")
     p.add_argument("--parse-only", action="store_true",
                    help="only parse an existing trace dir")
