@@ -163,7 +163,8 @@ def run_hook_bench(args, dg, stream, num_nodes, num_edges, edge_dim,
     )
     copts = dict(kv.split("=", 1) for kv in args.compiler_opt) or None
     epoch, hstates = scanned_hook_epoch(stream, hm, "train", dg, train_core,
-                                        compiler_options=copts)
+                                        compiler_options=copts,
+                                        unroll=args.unroll)
 
     carry = (params, opt_state, mem_state, key)
     carry, hstates, losses = epoch(carry, hstates)  # compile + warm
@@ -310,7 +311,8 @@ def run_dygformer_bench(args, dg, stream, num_nodes, num_edges, edge_dim) -> Non
     opt_state = opt.init(params)
     copts = dict(kv.split("=", 1) for kv in args.compiler_opt) or None
     epoch, hstates = scanned_hook_epoch(stream, hm, "train", dg, train_core,
-                                        compiler_options=copts)
+                                        compiler_options=copts,
+                                        unroll=args.unroll)
 
     carry = (params, opt_state, key)
     carry, hstates, losses = epoch(carry, hstates)  # compile + warm

@@ -129,6 +129,39 @@ def test_eid_kernel_matches_jnp_query(k):
     )
 
 
+@pytest.mark.parametrize("k", [3, 6])
+def test_lane_major_matches_row_major(k):
+    """The lane-major select (seeds on the 128-lane axis — the eval-seed-count
+    variant auto-picked above LANE_SELECT_MIN_SEEDS) is bit-equal to the
+    row-major kernel and the jnp path, including ragged block padding."""
+    from tgm_tpu.ops.pallas.recency_select import recency_window_select_eid_lanes
+
+    rng = np.random.default_rng(5)
+    num_nodes, buf, events = 25, 6, 80
+    e_state = recency_eid_init(num_nodes, buf)
+    src = jnp.asarray(rng.integers(0, num_nodes, events), jnp.int32)
+    dst = jnp.asarray(rng.integers(0, num_nodes, events), jnp.int32)
+    t = jnp.asarray(np.sort(rng.integers(0, 500, events)), jnp.int32)
+    eids = jnp.arange(events, dtype=jnp.int32)
+    for i in range(0, events, 20):
+        e_state = recency_eid_update(e_state, src[i:i+20], dst[i:i+20],
+                                     t[i:i+20], eids[i:i+20], None,
+                                     directed=False)
+
+    S = 37  # ragged vs block=16
+    seeds = jnp.asarray(rng.integers(0, num_nodes, S), jnp.int32)
+    qt = jnp.asarray(rng.integers(0, 600, S), jnp.int32)
+    want_ids, want_t, want_e = recency_eid_query(e_state, seeds, qt, k)
+
+    nbr_ids, nbr_times, nbr_eids, write_pos = e_state
+    got = recency_window_select_eid_lanes(
+        nbr_ids[seeds], nbr_times[seeds], nbr_eids[seeds], write_pos[seeds],
+        qt, k=k, block=16, interpret=True,
+    )
+    for g, w in zip(got, (want_ids, want_t, want_e)):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
 def test_ragged_block_padding():
     # S not a multiple of block: padded rows must not leak into outputs.
     rng = np.random.default_rng(1)

@@ -73,6 +73,14 @@ def recency_init(
 # (tests/test_pallas_recency.py) and ~2.6x faster on TPU v5e.
 USE_PALLAS_RECENCY: Optional[bool] = None
 
+# Seed count (static at trace time) at/above which the LANE-MAJOR select
+# kernel is used instead of the row-major one: the row-major kernel pads the
+# buffer axis B (~10) to 128 VPU lanes — 12.8x wasted lanes — and its scoped
+# VMEM blows up above block 512, which only bites at eval seed counts
+# (2B + B*Q ~ 4400). The lane-major variant puts seeds on the lane axis.
+# Bit-equal (tests/test_pallas_recency.py::test_lane_major_matches_row_major).
+LANE_SELECT_MIN_SEEDS: int = 1024
+
 
 def _pallas_enabled() -> bool:
     if USE_PALLAS_RECENCY is not None:
@@ -409,9 +417,15 @@ def recency_eid_query(
     rows = jnp.where(seed_ok, seeds, num_nodes)
 
     if _pallas_enabled():
-        from ..ops.pallas.recency_select import recency_window_select_eid
+        from ..ops.pallas.recency_select import (
+            recency_window_select_eid,
+            recency_window_select_eid_lanes,
+        )
 
-        return recency_window_select_eid(
+        sel = (recency_window_select_eid_lanes
+               if seeds.shape[0] >= LANE_SELECT_MIN_SEEDS
+               else recency_window_select_eid)
+        return sel(
             nbr_ids[rows], nbr_times[rows], nbr_eids[rows],
             write_pos[rows], seed_times, k=k,
         )
@@ -507,9 +521,15 @@ def recency_pk_query(
     ids, times, eids = g[:, :, 0], g[:, :, 1], g[:, :, 2]
     wp = write_pos[rows]
     if _pallas_enabled():
-        from ..ops.pallas.recency_select import recency_window_select_eid
+        from ..ops.pallas.recency_select import (
+            recency_window_select_eid,
+            recency_window_select_eid_lanes,
+        )
 
-        return recency_window_select_eid(ids, times, eids, wp, seed_times, k=k)
+        sel = (recency_window_select_eid_lanes
+               if seeds.shape[0] >= LANE_SELECT_MIN_SEEDS
+               else recency_window_select_eid)
+        return sel(ids, times, eids, wp, seed_times, k=k)
     # jnp fallback: row-local selection (same math as recency_eid_query's).
     B = buf.shape[1]
     cand_idx = (wp[:, None] - jnp.arange(B, 0, -1)[None, :]) % B

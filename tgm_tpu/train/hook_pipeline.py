@@ -38,6 +38,7 @@ def scanned_hook_epoch(
     step_fn: Callable[[Any, Any], Tuple[Any, Any]],
     donate: bool = True,
     compiler_options: Any = None,
+    unroll: int = 1,
 ):
     """Compile one scanned epoch over ``stream`` with ``key``'s hook pipeline.
 
@@ -63,7 +64,7 @@ def scanned_hook_epoch(
             return (carry, hstates), out
 
         (carry, hook_states), outs = lax.scan(
-            body, (carry, hook_states), jnp.arange(n)
+            body, (carry, hook_states), jnp.arange(n), unroll=unroll
         )
         return carry, hook_states, outs
 
