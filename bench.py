@@ -387,13 +387,15 @@ def main() -> None:
                    "jit parameters (r3's workaround for the f32-table "
                    "254us/batch constant copy — measured SLOWER with the "
                    "bf16 table: 144.7k vs 185k edges/s)")
-    p.add_argument("--dyg-attn", choices=["fused", "flax"], default="fused",
-                   help="dygformer attention: one fused (D,3D) QKV matmul + "
-                   "explicit einsum core (default) or flax MHA")
-    p.add_argument("--dyg-pairs", choices=["fused", "split"], default="fused",
-                   help="dygformer pos/neg pairs: one encode_pairs forward "
-                   "over the stacked (3B) hook rows (default) or two "
-                   "separate encoder calls (r2/r3 execution)")
+    p.add_argument("--dyg-attn", choices=["fused", "flax"], default="flax",
+                   help="dygformer attention. Default flax MHA — the fused "
+                   "(D,3D) QKV variant MEASURED 15%% SLOWER on v5e (39.2k vs "
+                   "46.0k edges/s): slicing q/k/v out of the 600-wide qkv "
+                   "minor dim relayout-copies (docs/performance.md)")
+    p.add_argument("--dyg-pairs", choices=["fused", "split"], default="split",
+                   help="dygformer pos/neg pairs. Default two separate "
+                   "encoder calls; the single encode_pairs forward over the "
+                   "stacked (3B) hook rows measured NEUTRAL (45.7k vs 46.0k)")
     p.add_argument(
         "--with-eval", action="store_true",
         help="also time a scanned candidate-list eval epoch (tgn only; adds "
