@@ -68,7 +68,12 @@ def ncn_adjacency_rows(
     174-201).
     """
     S, K = nbrs_local.shape
-    w = nbr_valid.astype(jnp.float32)
+    # bf16 operands, f32 accumulation: every operand is an exact small
+    # integer (0/1 indicators and per-row counts <= K << 256, all exactly
+    # representable in bf16) and the f32-accumulated sums stay < 2^24, so
+    # the result is BIT-EXACT while the matmuls run single-pass on the MXU
+    # (the f32 MXU path is a ~4x slower multi-pass bf16 decomposition).
+    w = nbr_valid.astype(jnp.bfloat16)
     iota = jnp.arange(num_local, dtype=nbrs_local.dtype)
 
     # part1[r, u] = sum_k w[r, k] * [nbr[r, k] == u]   (fused compare-add)
@@ -77,15 +82,17 @@ def ncn_adjacency_rows(
         axis=1,
     )
     # Consolidate duplicate seed rows of the same node.
-    s_eq = (seeds_local[:, None] == seeds_local[None, :]).astype(jnp.float32)
+    s_eq = (seeds_local[:, None] == seeds_local[None, :]).astype(jnp.bfloat16)
     # gamma[r, r'] = sum_k w[r', k] * [nbr[r', k] == seed[r]]
     gamma = jnp.sum(
         (nbrs_local[None, :, :] == seeds_local[:, None, None])
         * w[None, :, :],
         axis=2,
     )
-    onehot_seed = (seeds_local[:, None] == iota[None, :]).astype(jnp.float32)
-    rows = s_eq @ part1 + gamma @ onehot_seed
+    onehot_seed = (seeds_local[:, None] == iota[None, :]).astype(jnp.bfloat16)
+    rows = jnp.matmul(s_eq, part1, preferred_element_type=jnp.float32)
+    rows = rows + jnp.matmul(gamma, onehot_seed,
+                             preferred_element_type=jnp.float32)
     # Padded/invalid locals (-1) contribute nothing and read nothing.
     valid_seed = (seeds_local >= 0) & (seeds_local < num_local)
     return jnp.where(valid_seed[:, None], rows, 0.0)
