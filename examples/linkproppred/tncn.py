@@ -20,8 +20,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 from examples._linkpred_common import base_parser, run_epochs, setup_linkpred
 from tgm_tpu.constants import PADDED_NODE_ID
 from tgm_tpu.eval.metrics import mrr_sum_count
-from tgm_tpu.hooks import DeduplicationHook, RecencyNeighborHook, map_to_local
+from tgm_tpu.hooks import (
+    DeduplicationHook,
+    RecencyNeighborHook,
+    candidate_rows,
+    map_to_local,
+    seed_lookup,
+)
 from tgm_tpu.nn import NCNPredictor
+from tgm_tpu.nn.decoder.ncnpred import ncn_adjacency_rows
 from tgm_tpu.nn.encoder.tgn import GraphAttentionEmbedding, TGNMemory, tgn_store_messages
 
 
@@ -89,6 +96,22 @@ def main():
             batch.nbr_edge_x[0].reshape(nbr_flat.shape[0], -1), e_valid,
         )
 
+    # k in {2, 4}: adjacency rows for ALL hook seeds, computed once per batch
+    # with equality-mask matmuls and shared by every query — no (U, U) dense
+    # adjacency is ever built (ncn_adjacency_rows docstring; measured
+    # 35.1k -> 51.7k edges/s on v5e at wiki shapes, bit-exact). k=8 needs
+    # A@A diagonal corrections and keeps the dense path.
+    use_rows = args.ncn_k in (2, 4)
+
+    def seed_rows(batch, z_width):
+        g2l = batch.global_to_local
+        seeds_l = map_to_local(g2l, batch.seed_nids[0])
+        nbrs_l = map_to_local(g2l, batch.nbr_nids[0])
+        nbr_ok = (batch.nbr_nids[0] != PADDED_NODE_ID) & (
+            batch.seed_nids[0][:, None] != PADDED_NODE_ID
+        )
+        return ncn_adjacency_rows(seeds_l, nbrs_l, nbr_ok, z_width)
+
     def encode(p, mem_state, batch, rng=None):
         z_mem, last_upd = memory.apply(
             p["mem"], mem_state, batch.unique_nids, method=TGNMemory.stage
@@ -99,10 +122,18 @@ def main():
             p["enc"], z_mem, last_upd, e_src, e_dst, e_t, e_x, e_valid,
             deterministic=rng is None, rngs=rngs,
         )
-        return z, last_upd, (e_src, e_dst, e_valid)
+        rows = seed_rows(batch, z.shape[0]) if use_rows else None
+        return z, last_upd, (e_src, e_dst, e_valid, rows)
 
-    def score(p, z, sub, g2l, src, dst, last_upd, t):
-        e_src, e_dst, e_valid = sub
+    def score(p, z, sub, g2l, src, dst, last_upd, t, rows_i=None, rows_j=None):
+        e_src, e_dst, e_valid, _ = sub
+        if rows_i is not None:
+            return decoder.apply(
+                p["dec"], z, rows_i, rows_j,
+                map_to_local(g2l, src), map_to_local(g2l, dst),
+                last_update=last_upd, edge_time=t,
+                method=NCNPredictor.score_from_rows,
+            )
         return decoder.apply(
             p["dec"], z, e_src, e_dst,
             map_to_local(g2l, src), map_to_local(g2l, dst),
@@ -129,8 +160,15 @@ def main():
 
         def loss_fn(p):
             z, last_upd, sub = encode(p, mem_state, batch, kd)
-            pos = score(p, z, sub, g2l, batch.edge_src, batch.edge_dst, last_upd, batch.edge_time)
-            neg = score(p, z, sub, g2l, batch.edge_src, batch.neg, last_upd, batch.edge_time)
+            rows = sub[3]
+            B = batch.edge_src.shape[0]
+            ri = rows[:B] if rows is not None else None
+            pos = score(p, z, sub, g2l, batch.edge_src, batch.edge_dst,
+                        last_upd, batch.edge_time, ri,
+                        rows[B : 2 * B] if rows is not None else None)
+            neg = score(p, z, sub, g2l, batch.edge_src, batch.neg,
+                        last_upd, batch.edge_time, ri,
+                        rows[2 * B :] if rows is not None else None)
             m = batch.edge_valid.astype(pos.dtype)
             d = jnp.maximum(m.sum(), 1.0)
             return (
@@ -150,14 +188,31 @@ def main():
         Q = batch.neg_batch_list.shape[1]
         g2l = batch.global_to_local
         z, last_upd, sub = encode(params, mem_state, batch)
-        pos = score(params, z, sub, g2l, batch.edge_src, batch.edge_dst, last_upd, batch.edge_time)
+        rows = sub[3]
+        negs = batch.neg_batch_list.reshape(-1)
+        found = None
+        if rows is not None:
+            # Candidates are hook seeds ('neg' is the unique candidate set);
+            # locate each per-edge candidate's seed row for its adjacency row.
+            lut = seed_lookup(batch.seed_nids[0], num_nodes)
+            cand_r, found = candidate_rows(lut, negs, rows.shape[0])
+            ri_pos, rj_pos = rows[:B], rows[B : 2 * B]
+            ri_neg = jnp.repeat(rows[:B], Q, axis=0)
+            rj_neg = rows[cand_r]
+        else:
+            ri_pos = rj_pos = ri_neg = rj_neg = None
+        pos = score(params, z, sub, g2l, batch.edge_src, batch.edge_dst,
+                    last_upd, batch.edge_time, ri_pos, rj_pos)
         neg = score(
             params, z, sub, g2l,
-            jnp.repeat(batch.edge_src, Q), batch.neg_batch_list.reshape(-1),
-            last_upd, jnp.repeat(batch.edge_time, Q),
+            jnp.repeat(batch.edge_src, Q), negs,
+            last_upd, jnp.repeat(batch.edge_time, Q), ri_neg, rj_neg,
         ).reshape(B, Q)
+        neg_valid = batch.neg_batch_list != PADDED_NODE_ID
+        if found is not None:
+            neg_valid = neg_valid & found.reshape(B, Q)
         s, c = mrr_sum_count(
-            pos, neg, neg_valid=batch.neg_batch_list != PADDED_NODE_ID,
+            pos, neg, neg_valid=neg_valid,
             edge_valid=batch.edge_valid,
         )
         mem_state = tgn_store_messages(

@@ -321,6 +321,71 @@ def test_ncn_score_from_rows_matches_call(k):
     np.testing.assert_array_equal(np.asarray(fast), np.asarray(ref))
 
 
+def test_ncn_rows_wiring_on_hook_batch():
+    """On a REAL hook-produced batch (recency + dedup + random negatives),
+    the seed-row wiring (queries = seed rows [0:B], [B:2B], [2B:3B]) scores
+    exactly like the dense-adjacency path with g2l-local queries."""
+    from tgm_tpu.core.graph import DGraph
+    from tgm_tpu.data.dg_data import DGData
+    from tgm_tpu.data.loader import DGDataLoader
+    from tgm_tpu.hooks import (
+        DeduplicationHook,
+        HookManager,
+        RandomNegativeEdgeSamplerHook,
+        RecencyNeighborHook,
+        map_to_local,
+    )
+    from tgm_tpu.nn.decoder.ncnpred import ncn_adjacency_rows
+
+    rng = np.random.default_rng(0)
+    E, N, D = 240, 40, 6
+    data = DGData.from_raw(
+        edge_time=np.sort(rng.integers(0, 1000, E)),
+        edge_index=rng.integers(0, N, (E, 2)),
+        time_delta="s",
+    )
+    dg = DGraph(data)
+    hm = HookManager(keys=["train"])
+    hm.register("train", RandomNegativeEdgeSamplerHook(low=0, high=N))
+    hm.register_shared(
+        RecencyNeighborHook(N, [4], ["edge_src", "edge_dst", "neg"],
+                            ["edge_time", "edge_time", "neg_time"])
+    )
+    hm.register_shared(DeduplicationHook(N, seed_nodes_keys=["neg", "nbr_nids"]))
+    loader = DGDataLoader(dg, 60, hook_manager=hm)
+    with hm.activate("train"):
+        batches = list(loader)
+    batch = batches[2]  # warm buffers
+    B = batch.edge_src.shape[0]
+    g2l = batch.global_to_local
+
+    z = jnp.asarray(rng.normal(size=(batch.unique_nids.shape[0], D))
+                    .astype(np.float32))
+    m = NCNPredictor(in_channels=D, hidden_dim=8, out_channels=1, k=2)
+
+    seeds = batch.seed_nids[0]
+    nbrs = batch.nbr_nids[0]
+    Kn = nbrs.shape[1]
+    src_rep = jnp.repeat(seeds, Kn)
+    nbr_flat = nbrs.reshape(-1)
+    e_valid = (nbr_flat != PADDED_NODE_ID) & (src_rep != PADDED_NODE_ID)
+    e_src = map_to_local(g2l, src_rep)
+    e_dst = map_to_local(g2l, nbr_flat)
+    ti = map_to_local(g2l, batch.edge_src)
+    tj = map_to_local(g2l, batch.neg)
+    params = m.init(KEY, z, e_src, e_dst, ti, tj)
+    ref = m.apply(params, z, e_src, e_dst, ti, tj, edge_valid=e_valid)
+
+    seeds_l = map_to_local(g2l, seeds)
+    nbrs_l = map_to_local(g2l, nbrs)
+    nbr_ok = (nbrs != PADDED_NODE_ID) & (seeds[:, None] != PADDED_NODE_ID)
+    rows = ncn_adjacency_rows(seeds_l, nbrs_l, nbr_ok, z.shape[0])
+    fast = m.apply(params, z, rows[:B], rows[2 * B :], ti, tj,
+                   method=NCNPredictor.score_from_rows)
+    ev = np.asarray(batch.edge_valid)
+    np.testing.assert_array_equal(np.asarray(fast)[ev], np.asarray(ref)[ev])
+
+
 def test_ncn_invalid_k():
     with pytest.raises(ValueError):
         m = NCNPredictor(in_channels=4, hidden_dim=8, out_channels=1, k=3)
