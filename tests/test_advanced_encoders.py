@@ -106,6 +106,26 @@ def test_dygformer_encode_pairs_matches_two_calls():
     np.testing.assert_allclose(np.asarray(fn), np.asarray(zn), rtol=2e-5, atol=2e-5)
 
 
+def test_dygformer_bf16_stream_close_to_f32():
+    """bf16 residual stream stays within bf16 rounding of the f32 stream."""
+    kw = dict(
+        node_feat_dim=5, edge_x_dim=4, time_feat_dim=8, channel_embedding_dim=16,
+        output_dim=20, patch_size=2, num_layers=2, max_input_sequence_length=8,
+        dropout=0.0, compute_bf16=True,
+    )
+    m = DyGFormer(**kw)
+    mb = DyGFormer(**kw, bf16_stream=True)
+    args = _dyg_inputs()
+    params = m.init(KEY, *args)
+    zs, _ = m.apply(params, *args)
+    pb = mb.init(KEY, *args)
+    # LN param values are identical inits (ones/zeros); trees differ by name.
+    bzs, _ = mb.apply(pb, *args)
+    np.testing.assert_allclose(np.asarray(bzs), np.asarray(zs), rtol=0.08,
+                               atol=0.08)
+    assert np.isfinite(np.asarray(bzs)).all()
+
+
 def test_dygformer_fused_attention_matches_flax_mha():
     """fused_attn with converted params == the flax-MHA transformer."""
     from tgm_tpu.nn.encoder.dygformer import fuse_attention_params

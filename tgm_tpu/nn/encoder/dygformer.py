@@ -134,17 +134,49 @@ def fuse_attention_params(mha_params: dict) -> dict:
     }
 
 
+class LayerNormBF16(nn.Module):
+    """LayerNorm with f32 statistics and a bf16 residual stream.
+
+    The transformer's inter-op tensors are its bandwidth bill: at wiki
+    shapes every LN/residual boundary moves a (B, 2P, D) activation, and
+    keeping those f32 doubles the traffic of the bf16 matmul path around
+    them. Stats (mean/var) still accumulate in f32 — only the stream dtype
+    changes.
+    """
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        D = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (D,))
+        bias = self.param("bias", nn.initializers.zeros, (D,))
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(axis=-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(jnp.bfloat16)
+
+
 class TransformerEncoder(nn.Module):
     attention_dim: int
     num_heads: int
     dropout: float = 0.1
     dtype: Any = None  # bf16 compute (params stay f32) when set
     fused_attn: bool = False
+    # bf16 residual stream: LN stats stay f32 but the inter-op activations
+    # (the bandwidth bill at these shapes) flow bf16 end to end.
+    bf16_stream: bool = False
 
     @nn.compact
     def __call__(self, inputs: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        # LayerNorms stay f32 (stat stability); matmuls run in ``dtype``.
-        h = nn.LayerNorm(epsilon=1e-5)(inputs)
+        if self.bf16_stream:
+            inputs = inputs.astype(jnp.bfloat16)
+            ln = lambda: LayerNormBF16()
+        else:
+            # LayerNorms stay f32 (stat stability); matmuls run in ``dtype``.
+            ln = lambda: nn.LayerNorm(epsilon=1e-5)
+        h = ln()(inputs)
         if self.fused_attn:
             attn = FusedSelfAttention(
                 dim=self.attention_dim,
@@ -161,7 +193,7 @@ class TransformerEncoder(nn.Module):
             )(h, h, deterministic=deterministic)
         out = inputs + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
 
-        h = nn.LayerNorm(epsilon=1e-5)(out)
+        h = ln()(out)
         h = nn.Dense(4 * self.attention_dim, dtype=self.dtype)(h)
         h = nn.Dropout(self.dropout)(nn.gelu(h, approximate=False), deterministic=deterministic)
         h = nn.Dense(self.attention_dim, dtype=self.dtype)(h)
@@ -189,6 +221,11 @@ class DyGFormer(nn.Module):
     # docstring). Changes the attention param tree; fuse_attention_params
     # converts flax-MHA checkpoints.
     fused_attn: bool = False
+    # bf16 residual stream through the transformer stack (LN stats stay
+    # f32): halves the inter-op activation traffic, which is the bandwidth
+    # bill at wiki shapes. Requires compute_bf16. Changes LN param names
+    # (LayerNormBF16_*) and TPU-side numerics at the bf16 rounding level.
+    bf16_stream: bool = False
 
     requires: Set[str] = frozenset({"nbr_nids", "nbr_edge_time", "nbr_edge_x"})
 
@@ -212,6 +249,7 @@ class DyGFormer(nn.Module):
                 dropout=self.dropout,
                 dtype=dt,
                 fused_attn=self.fused_attn,
+                bf16_stream=self.bf16_stream and self.compute_bf16,
             )
             for _ in range(self.num_layers)
         ]
