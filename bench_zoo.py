@@ -93,7 +93,15 @@ def _time_scanned_epoch(args, num_edges, epoch, carry, hstates):
         with jax.profiler.trace(trace_dir):
             carry, hstates, losses = epoch(carry, hstates)
             jax.block_until_ready(losses)
-    return num_edges / min(times)
+    # The scanned epoch DONATES the carry — the caller's original params are
+    # deleted; eval sections must use the returned (trained) carry.
+    return num_edges / min(times), carry
+
+
+def _copts(args):
+    """XLA per-compile option overrides from --compiler-opt KEY=VALUE."""
+    opts = getattr(args, "compiler_opt", None) or []
+    return dict(kv.split("=", 1) for kv in opts) or None
 
 
 def _base_hm(dg, args=None, num_edges=None):
@@ -233,12 +241,14 @@ def bench_tpnet(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
         params = optax.apply_updates(params, updates)
         return (params, opt_state, rp_state), loss
 
-    epoch, hstates = scanned_hook_epoch(stream, hm, "train", dg, core)
-    eps = _time_scanned_epoch(
+    epoch, hstates = scanned_hook_epoch(stream, hm, "train", dg, core,
+                                    compiler_options=_copts(args))
+    eps, fcarry = _time_scanned_epoch(
         args, num_edges, epoch, (params, opt_state, rp_state), hstates
     )
     if not getattr(args, "with_eval", False):
         return eps
+    params = fcarry[0]
 
     # Scanned candidate-list eval, mirroring examples/linkproppred/tpnet.py
     # eval_step: per-edge (B, Q) lists; candidates' neighbor rows located in
@@ -283,7 +293,8 @@ def bench_tpnet(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
         )
         return (params, rp_state), (s, c)
 
-    eval_epoch, ehstates = scanned_hook_epoch(stream, hm, "val", dg, eval_core)
+    eval_epoch, ehstates = scanned_hook_epoch(
+        stream, hm, "val", dg, eval_core, compiler_options=_copts(args))
     eval_eps = _time_scanned_eval(
         args, num_edges, eval_epoch, (params, rp.init_state(k1)), ehstates
     )
@@ -387,12 +398,14 @@ def bench_ctan(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
         params = optax.apply_updates(params, updates)
         return (params, opt_state, mem_state), loss
 
-    epoch, hstates = scanned_hook_epoch(stream, hm, "train", dg, core)
-    eps = _time_scanned_epoch(
+    epoch, hstates = scanned_hook_epoch(stream, hm, "train", dg, core,
+                                    compiler_options=_copts(args))
+    eps, fcarry = _time_scanned_epoch(
         args, num_edges, epoch, (params, opt_state, mem_state), hstates
     )
     if not getattr(args, "with_eval", False):
         return eps
+    params = fcarry[0]
 
     # Scanned candidate-list eval, mirroring examples/linkproppred/ctan.py
     # eval_step: candidates live in the dedup-local space ('neg' is a dedup
@@ -424,7 +437,8 @@ def bench_ctan(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
         )
         return (params, mem_state), (s, c)
 
-    eval_epoch, ehstates = scanned_hook_epoch(stream, hm, "val", dg, eval_core)
+    eval_epoch, ehstates = scanned_hook_epoch(
+        stream, hm, "val", dg, eval_core, compiler_options=_copts(args))
     eval_eps = _time_scanned_eval(
         args, num_edges, eval_epoch,
         (params, ctan_memory_init(num_nodes, embed_dim)), ehstates,
@@ -561,12 +575,14 @@ def bench_tncn(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
         params = optax.apply_updates(params, updates)
         return (params, opt_state, mem_state), loss
 
-    epoch, hstates = scanned_hook_epoch(stream, hm, "train", dg, core)
-    eps = _time_scanned_epoch(
+    epoch, hstates = scanned_hook_epoch(stream, hm, "train", dg, core,
+                                    compiler_options=_copts(args))
+    eps, fcarry = _time_scanned_epoch(
         args, num_edges, epoch, (params, opt_state, mem_state), hstates
     )
     if not getattr(args, "with_eval", False):
         return eps
+    params = fcarry[0]
 
     # Scanned candidate-list eval, mirroring examples/linkproppred/tncn.py
     # eval_step: adjacency rows for ALL (src, dst, unique-candidate) seeds
@@ -629,7 +645,8 @@ def bench_tncn(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
         )
         return (params, mem_state), (s, c)
 
-    eval_epoch, ehstates = scanned_hook_epoch(stream, hm, "val", dg, eval_core)
+    eval_epoch, ehstates = scanned_hook_epoch(
+        stream, hm, "val", dg, eval_core, compiler_options=_copts(args))
     eval_eps = _time_scanned_eval(
         args, num_edges, eval_epoch, (params, memory.init_state()), ehstates
     )
@@ -714,11 +731,13 @@ def bench_graphmixer(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
         params = optax.apply_updates(params, updates)
         return (params, opt_state), loss
 
-    epoch, hstates = scanned_hook_epoch(stream, hm, "train", dg, core)
-    eps = _time_scanned_epoch(args, num_edges, epoch, (params, opt_state),
-                              hstates)
+    epoch, hstates = scanned_hook_epoch(stream, hm, "train", dg, core,
+                                    compiler_options=_copts(args))
+    eps, fcarry = _time_scanned_epoch(args, num_edges, epoch,
+                                      (params, opt_state), hstates)
     if not getattr(args, "with_eval", False):
         return eps
+    params = fcarry[0]
 
     # Scanned candidate-list eval, mirroring examples/linkproppred/
     # graphmixer.py eval_step: z covers every hook seed row (src, dst,
@@ -748,7 +767,8 @@ def bench_graphmixer(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
         )
         return (params,), (s, c)
 
-    eval_epoch, ehstates = scanned_hook_epoch(stream, hm, "val", dg, eval_core)
+    eval_epoch, ehstates = scanned_hook_epoch(
+        stream, hm, "val", dg, eval_core, compiler_options=_copts(args))
     eval_eps = _time_scanned_eval(args, num_edges, eval_epoch, (params,),
                                   ehstates)
     return eps, eval_eps
@@ -920,6 +940,10 @@ def main() -> None:
     p.add_argument("--snapshot-ticks", type=int, default=86_400,
                    help="gclstm snapshot width in stream seconds (86400 = "
                    "daily over wiki's ~31-day span)")
+    p.add_argument("--compiler-opt", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="XLA compiler option override for the scanned "
+                   "programs (repeatable)")
     p.add_argument("--with-eval", action="store_true",
                    help="also time a scanned candidate-list eval epoch per "
                    "model (Q=20 synthetic TGB-style lists; adds a "
