@@ -198,7 +198,90 @@ def run_hook_bench(args, dg, stream, num_nodes, num_edges, edge_dim,
     if cpu_base is not None:
         out["vs_reference_cpu_measured"] = round(edges_per_sec / cpu_base, 3)
         out["reference_cpu_edges_per_sec"] = round(cpu_base, 1)
+    if args.with_eval and canonical:
+        # The eval program runs the fused TGNPipeline (throughput is
+        # state-content-independent, so a fresh carry is fine) — keeps the
+        # canonical train metric on the hook API while still recording the
+        # metric-bearing eval path in the same JSON line.
+        from tgm_tpu.train import TGNPipeline
+
+        pipe = TGNPipeline(
+            num_nodes=num_nodes, edge_dim=edge_dim, memory_dim=dims,
+            embed_dim=dims, time_dim=dims, num_nbrs=10, lr=1e-4,
+            neg_low=int(dg.edge_dst.min()), neg_high=int(dg.edge_dst.max()),
+            edge_x_full=stream.edge_x,
+            feat_bf16={"auto": None, "on": True, "off": False}[args.feat_bf16],
+            attn_bf16={"auto": None, "on": True, "off": False}[args.attn_bf16],
+        )
+        out.update(run_fused_eval(args, dg, stream, num_edges, pipe,
+                                  pipe.init_carry(jax.random.PRNGKey(0))))
     print(json.dumps(out))
+
+
+def run_fused_eval(args, dg, stream, num_edges, pipe, carry) -> dict:
+    """Scanned eval epoch: every edge scored against Q=20 synthetic
+    candidates via TGNPipeline.eval_step (TGB-style masked-rank MRR).
+
+    Shared by the fused path and the canonical hook-path bench so the
+    driver's default run records ``eval_edges_per_sec`` (the metric-bearing
+    path — reference loop /root/reference/examples/linkproppred/tgn.py:164-177).
+    Timed min-of-``--epochs`` like the train epochs (single-epoch timings
+    jitter ~15% through the remote-TPU tunnel).
+    """
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    Q = 20
+    B = args.bsize
+    nb = stream.num_batches
+    cands = jax.random.randint(
+        jax.random.PRNGKey(1), (nb * B, Q),
+        int(dg.edge_dst.min()), int(dg.edge_dst.max()) + 1, dtype=jnp.int32,
+    )
+
+    def eval_body(c):
+        def body(c, i):
+            rows = lax.dynamic_slice(cands, (i * B, 0), (B, Q))
+            return pipe.eval_step(c, stream.batch_at(i), rows)
+
+        # unroll > 1 lets XLA overlap consecutive batches' candidate
+        # scoring: batch i+1's state depends only on batch i's
+        # (cheap) state update, never on its (expensive) scoring.
+        return lax.scan(body, c, jnp.arange(nb), unroll=args.eval_unroll)
+
+    copts = dict(kv.split("=", 1) for kv in args.eval_compiler_opt) or None
+    if args.eval_tables == "params":
+        # r3 workaround for the f32 table's per-iteration constant copy;
+        # with the bf16 table the closure program measures faster.
+        def eval_epoch(c, tbl):
+            with pipe.bind_tables(tbl):
+                return eval_body(c)
+
+        eval_jit0 = jax.jit(eval_epoch, donate_argnums=(),
+                            compiler_options=copts)
+        eval_jit = lambda c: eval_jit0(c, pipe.tables)
+    else:
+        eval_jit = jax.jit(eval_body, donate_argnums=(),
+                           compiler_options=copts)
+    carry2 = pipe.flush_all(carry)
+    carry2, (s, cc) = eval_jit(carry2)  # compile + warm
+    jax.block_until_ready(s)
+    times = []
+    for _ in range(max(args.epochs, 1)):
+        t0 = _time.perf_counter()
+        carry2, (s, cc) = eval_jit(carry2)
+        jax.block_until_ready(s)
+        times.append(_time.perf_counter() - t0)
+    return {
+        "eval_edges_per_sec": round(num_edges / min(times), 1),
+        "eval_candidates_per_edge": Q,
+        "eval_execution": "fused_pipeline",
+        "eval_mrr_synthetic": round(
+            float(jnp.sum(s) / jnp.maximum(jnp.sum(cc), 1)), 4),
+    }
 
 
 def run_dygformer_bench(args, dg, stream, num_nodes, num_edges, edge_dim) -> None:
@@ -405,16 +488,17 @@ def main() -> None:
                    "encoder calls; the single encode_pairs forward over the "
                    "stacked (3B) hook rows measured NEUTRAL (45.7k vs 46.0k)")
     p.add_argument(
-        "--with-eval", action="store_true",
+        "--with-eval", action=argparse.BooleanOptionalAction, default=True,
         help="also time a scanned candidate-list eval epoch (tgn only; adds "
-        "eval_edges_per_sec to the JSON line)",
+        "eval_edges_per_sec to the JSON line). Default ON so the driver's "
+        "artifact records the metric-bearing path (r3 verdict item 2)",
     )
     p.add_argument(
         "--model", type=str, default="tgn",
         choices=["tgn", "tgat", "tgn-hooks", "tgn-fused", "dygformer"],
         help="tgn: the library's default execution model (HookManager DAG "
-        "through scanned_hook_epoch; falls back to the fused pipeline when "
-        "--with-eval is given); tgn-fused: the hand-fused TGNPipeline; "
+        "through scanned_hook_epoch; the eval epoch runs the fused "
+        "pipeline); tgn-fused: the hand-fused TGNPipeline; "
         "tgat: hand-fused TGAT pipeline; tgn-hooks: hook path under its "
         "own metric name",
     )
@@ -445,10 +529,11 @@ def main() -> None:
     feat_bf16 = {"auto": None, "on": True, "off": False}[args.feat_bf16]
 
     # Flags that only configure the fused TGNPipeline; when given, the
-    # default model routes to the fused program so they take effect.
+    # default model routes to the fused program so they take effect
+    # (--with-eval is NOT one of them: the hook path runs the fused eval
+    # program itself, keeping the canonical train metric on the hook API).
     fused_only_flags = (
-        args.with_eval or args.dedup_staging or args.unroll != 1
-        or args.feat_bf16 != "auto"
+        args.dedup_staging or args.unroll != 1 or args.feat_bf16 != "auto"
     )
     if args.model == "tgn-hooks" or (args.model == "tgn" and not fused_only_flags):
         run_hook_bench(args, dg, stream, num_nodes, num_edges, edge_dim,
@@ -544,53 +629,7 @@ def main() -> None:
         out["reference_cpu_edges_per_sec"] = round(cpu_base, 1)
 
     if args.with_eval and args.model in ("tgn", "tgn-fused"):
-        # Scanned eval epoch: every edge scored against Q=20 synthetic
-        # candidates via TGNPipeline.eval_step (TGB-style masked-rank MRR).
-        import jax.numpy as jnp
-        from jax import lax
-
-        Q = 20
-        B = args.bsize
-        nb = stream.num_batches
-        cands = jax.random.randint(
-            jax.random.PRNGKey(1), (nb * B, Q),
-            int(dg.edge_dst.min()), int(dg.edge_dst.max()) + 1, dtype=jnp.int32,
-        )
-
-        def eval_body(c):
-            def body(c, i):
-                rows = lax.dynamic_slice(cands, (i * B, 0), (B, Q))
-                return pipe.eval_step(c, stream.batch_at(i), rows)
-
-            # unroll > 1 lets XLA overlap consecutive batches' candidate
-            # scoring: batch i+1's state depends only on batch i's
-            # (cheap) state update, never on its (expensive) scoring.
-            return lax.scan(body, c, jnp.arange(nb), unroll=args.eval_unroll)
-
-        copts = dict(kv.split("=", 1) for kv in args.eval_compiler_opt) or None
-        if args.eval_tables == "params":
-            # r3 workaround for the f32 table's per-iteration constant copy;
-            # with the bf16 table the closure program measures faster.
-            def eval_epoch(c, tbl):
-                with pipe.bind_tables(tbl):
-                    return eval_body(c)
-
-            eval_jit0 = jax.jit(eval_epoch, donate_argnums=(),
-                                compiler_options=copts)
-            eval_jit = lambda c: eval_jit0(c, pipe.tables)
-        else:
-            eval_jit = jax.jit(eval_body, donate_argnums=(),
-                               compiler_options=copts)
-        carry2 = pipe.flush_all(carry)
-        carry2, (s, cc) = eval_jit(carry2)  # compile + warm
-        jax.block_until_ready(s)
-        t0 = time.perf_counter()
-        carry2, (s, cc) = eval_jit(carry2)
-        jax.block_until_ready(s)
-        dt = time.perf_counter() - t0
-        out["eval_edges_per_sec"] = round(num_edges / dt, 1)
-        out["eval_candidates_per_edge"] = Q
-        out["eval_mrr_synthetic"] = round(float(jnp.sum(s) / jnp.maximum(jnp.sum(cc), 1)), 4)
+        out.update(run_fused_eval(args, dg, stream, num_edges, pipe, carry))
 
     print(json.dumps(out))
 
