@@ -472,9 +472,18 @@ def bench_tncn(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
             edge_x_full=dg._storage._data.edge_x,
         )
     )
-    hm.register_shared(
-        DeduplicationHook(num_nodes, seed_nodes_keys=["neg", "nbr_nids"])
-    )
+    # Local-id space for the encoder/decoder. "global" skips the
+    # DeduplicationHook and uses raw node ids as the local space: the
+    # per-batch jnp.unique is a sort inside the scan (6,600 ids in train,
+    # 48,400 in eval — sorts are scan-hostile, CLAUDE.md) and eval's dedup
+    # capacity caps at num_nodes+1 anyway, so dedup buys nothing there. The
+    # global space trades those sorts + the g2l scatter + every map_to_local
+    # gather for ~1.4x larger (still tiny) dense compares/matmuls in train.
+    use_global = getattr(args, "tncn_space", "dedup") == "global"
+    if not use_global:
+        hm.register_shared(
+            DeduplicationHook(num_nodes, seed_nodes_keys=["neg", "nbr_nids"])
+        )
     memory = TGNMemory(num_nodes=num_nodes, raw_msg_dim=edge_dim,
                        memory_dim=memory_dim, time_dim=time_dim)
     encoder = GraphAttentionEmbedding(
@@ -504,8 +513,20 @@ def bench_tncn(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
     }
     opt_state = opt.init(params)
 
-    def local_graph(batch):
+    def make_loc(batch):
+        """Global->local id map: identity in global mode, dedup table else."""
+        if use_global:
+            return lambda ids: ids
         g2l = batch.global_to_local
+        return lambda ids: map_to_local(g2l, ids)
+
+    def stage_ids(batch):
+        if use_global:
+            return jnp.arange(num_nodes, dtype=jnp.int32)
+        return batch.unique_nids
+
+    def local_graph(batch):
+        loc = make_loc(batch)
         seeds = batch.seed_nids[0]
         nbrs = batch.nbr_nids[0]
         Kn = nbrs.shape[1]
@@ -513,18 +534,18 @@ def bench_tncn(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
         nbr_flat = nbrs.reshape(-1)
         e_valid = (nbr_flat != PADDED_NODE_ID) & (src_rep != PADDED_NODE_ID)
         return (
-            map_to_local(g2l, src_rep), map_to_local(g2l, nbr_flat),
+            loc(src_rep), loc(nbr_flat),
             batch.nbr_edge_time[0].reshape(-1),
             batch.nbr_edge_x[0].reshape(nbr_flat.shape[0], -1), e_valid,
         )
 
     def core(carry, batch):
         params, opt_state, mem_state = carry
-        g2l = batch.global_to_local
+        loc = make_loc(batch)
 
         def loss_fn(p):
             z_mem, last_upd = memory.apply(
-                p["mem"], mem_state, batch.unique_nids, method=TGNMemory.stage
+                p["mem"], mem_state, stage_ids(batch), method=TGNMemory.stage
             )
             e_src, e_dst, e_t, e_x, e_valid = local_graph(batch)
             z = encoder.apply(
@@ -535,8 +556,8 @@ def bench_tncn(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
             # per batch via equality-mask matmuls (no (U, U) scatter build;
             # bit-exact vs the dense path — ncn_adjacency_rows docstring).
             B = batch.edge_src.shape[0]
-            seeds_l = map_to_local(g2l, batch.seed_nids[0])
-            nbrs_l = map_to_local(g2l, batch.nbr_nids[0])
+            seeds_l = loc(batch.seed_nids[0])
+            nbrs_l = loc(batch.nbr_nids[0])
             nbr_ok = (batch.nbr_nids[0] != PADDED_NODE_ID) & (
                 batch.seed_nids[0][:, None] != PADDED_NODE_ID
             )
@@ -545,7 +566,7 @@ def bench_tncn(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
             def score(rows_i, rows_j, src, dst):
                 return decoder.apply(
                     p["dec"], z, rows_i, rows_j,
-                    map_to_local(g2l, src), map_to_local(g2l, dst),
+                    loc(src), loc(dst),
                     last_update=last_upd, edge_time=batch.edge_time,
                     method=NCNPredictor.score_from_rows,
                 )
@@ -594,24 +615,24 @@ def bench_tncn(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
         params, mem_state = carry
         B = batch.edge_src.shape[0]
         Q = batch.neg_batch_list.shape[1]
-        g2l = batch.global_to_local
+        loc = make_loc(batch)
         z_mem, last_upd = memory.apply(
-            params["mem"], mem_state, batch.unique_nids, method=TGNMemory.stage
+            params["mem"], mem_state, stage_ids(batch), method=TGNMemory.stage
         )
         e_src, e_dst, e_t, e_x, e_valid = local_graph(batch)
         z = encoder.apply(
             params["enc"], z_mem, last_upd, e_src, e_dst, e_t, e_x, e_valid
         )
-        seeds_l = map_to_local(g2l, batch.seed_nids[0])
-        nbrs_l = map_to_local(g2l, batch.nbr_nids[0])
+        seeds_l = loc(batch.seed_nids[0])
+        nbrs_l = loc(batch.nbr_nids[0])
         nbr_ok = (batch.nbr_nids[0] != PADDED_NODE_ID) & (
             batch.seed_nids[0][:, None] != PADDED_NODE_ID
         )
         rows = ncn_adjacency_rows(seeds_l, nbrs_l, nbr_ok, z.shape[0])
-        loc_src = map_to_local(g2l, batch.edge_src)
+        loc_src = loc(batch.edge_src)
         pos = decoder.apply(
             params["dec"], z, rows[:B], rows[B : 2 * B], loc_src,
-            map_to_local(g2l, batch.edge_dst),
+            loc(batch.edge_dst),
             method=NCNPredictor.score_from_rows,
         )
         negs = batch.neg_batch_list.reshape(-1)
@@ -620,7 +641,7 @@ def bench_tncn(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
         neg = decoder.apply(
             params["dec"], z,
             jnp.repeat(rows[:B], Q, axis=0), rows[cand_r],
-            jnp.repeat(loc_src, Q), map_to_local(g2l, negs),
+            jnp.repeat(loc_src, Q), loc(negs),
             method=NCNPredictor.score_from_rows,
         ).reshape(B, Q)
         s, c = mrr_sum_count(
@@ -948,6 +969,12 @@ def main() -> None:
                    help="also time a scanned candidate-list eval epoch per "
                    "model (Q=20 synthetic TGB-style lists; adds a "
                    "*_eval_edges_per_sec JSON line)")
+    p.add_argument("--tncn-space", choices=["dedup", "global"],
+                   default="dedup",
+                   help="tncn local-id space: dedup = per-batch "
+                   "DeduplicationHook (jnp.unique sort in-scan); global = "
+                   "raw node ids (no sort, no g2l scatter, ~1.4x larger "
+                   "dense ops)")
     args = p.parse_args()
 
     import os

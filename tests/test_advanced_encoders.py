@@ -406,6 +406,75 @@ def test_ncn_rows_wiring_on_hook_batch():
     np.testing.assert_array_equal(np.asarray(fast)[ev], np.asarray(ref)[ev])
 
 
+def test_tncn_global_space_matches_dedup():
+    """Global-node-id local space (bench_zoo --tncn-space global) scores
+    equal to the DeduplicationHook local space up to f32 summation order:
+    the adjacency-row mass lands on the same nodes, cn @ x sums the same
+    nonzero terms, and interleaved zero columns change only association."""
+    from tgm_tpu.core.graph import DGraph
+    from tgm_tpu.data.dg_data import DGData
+    from tgm_tpu.data.loader import DGDataLoader
+    from tgm_tpu.hooks import (
+        DeduplicationHook,
+        HookManager,
+        RandomNegativeEdgeSamplerHook,
+        RecencyNeighborHook,
+        map_to_local,
+    )
+    from tgm_tpu.nn.decoder.ncnpred import ncn_adjacency_rows
+
+    rng = np.random.default_rng(1)
+    E, N, D = 240, 40, 6
+    data = DGData.from_raw(
+        edge_time=np.sort(rng.integers(0, 1000, E)),
+        edge_index=rng.integers(0, N, (E, 2)),
+        time_delta="s",
+    )
+    dg = DGraph(data)
+    hm = HookManager(keys=["train"])
+    hm.register("train", RandomNegativeEdgeSamplerHook(low=0, high=N))
+    hm.register_shared(
+        RecencyNeighborHook(N, [4], ["edge_src", "edge_dst", "neg"],
+                            ["edge_time", "edge_time", "neg_time"])
+    )
+    hm.register_shared(DeduplicationHook(N, seed_nodes_keys=["neg", "nbr_nids"]))
+    loader = DGDataLoader(dg, 60, hook_manager=hm)
+    with hm.activate("train"):
+        batches = list(loader)
+    m = NCNPredictor(in_channels=D, hidden_dim=8, out_channels=1, k=2)
+    x_global = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+    params = None
+    for batch in batches[2:5]:  # warm buffers
+        B = batch.edge_src.shape[0]
+        g2l = batch.global_to_local
+        uniq = np.asarray(batch.unique_nids)
+        x_local = jnp.where(
+            ((batch.unique_nids >= 0) & (batch.unique_nids < N))[:, None],
+            x_global[jnp.clip(batch.unique_nids, 0, N - 1)], 0.0)
+        seeds = batch.seed_nids[0]
+        nbrs = batch.nbr_nids[0]
+        nbr_ok = (nbrs != PADDED_NODE_ID) & (seeds[:, None] != PADDED_NODE_ID)
+
+        def score(x, loc, num_local):
+            rows = ncn_adjacency_rows(loc(seeds), loc(nbrs), nbr_ok, num_local)
+            nonlocal params
+            if params is None:
+                e4 = jnp.zeros(4, jnp.int32)
+                params = m.init(KEY, x, e4, e4,
+                                loc(batch.edge_src), loc(batch.neg))
+            return m.apply(params, x, rows[:B], rows[2 * B:],
+                           loc(batch.edge_src), loc(batch.neg),
+                           method=NCNPredictor.score_from_rows)
+
+        s_dedup = score(x_local, lambda ids: map_to_local(g2l, ids),
+                        int(batch.unique_nids.shape[0]))
+        s_global = score(x_global, lambda ids: ids, N)
+        ev = np.asarray(batch.edge_valid)
+        np.testing.assert_allclose(np.asarray(s_global)[ev],
+                                   np.asarray(s_dedup)[ev],
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_ncn_invalid_k():
     with pytest.raises(ValueError):
         m = NCNPredictor(in_channels=4, hidden_dim=8, out_channels=1, k=3)
