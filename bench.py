@@ -243,9 +243,15 @@ def run_fused_eval(args, dg, stream, num_edges, pipe, carry) -> dict:
     )
 
     def eval_body(c):
+        # Loop-invariant: project the feature table ONCE per epoch (params
+        # are frozen in eval) so each batch gathers embed-wide projected
+        # rows instead of msg-wide raw ones (see TGNPipeline.eval_proj_table).
+        proj = pipe.eval_proj_table(c.params) if args.eval_proj_table else None
+
         def body(c, i):
             rows = lax.dynamic_slice(cands, (i * B, 0), (B, Q))
-            return pipe.eval_step(c, stream.batch_at(i), rows)
+            return pipe.eval_step(c, stream.batch_at(i), rows,
+                                  nbr_proj_table=proj)
 
         # unroll > 1 lets XLA overlap consecutive batches' candidate
         # scoring: batch i+1's state depends only on batch i's
@@ -487,6 +493,13 @@ def main() -> None:
                    help="dygformer pos/neg pairs. Default two separate "
                    "encoder calls; the single encode_pairs forward over the "
                    "stacked (3B) hook rows measured NEUTRAL (45.7k vs 46.0k)")
+    p.add_argument(
+        "--eval-proj-table", action=argparse.BooleanOptionalAction,
+        default=False,
+        help="eval epoch gathers from the pre-projected (embed-wide) feature "
+        "table instead of the raw msg-wide one (params frozen in eval; one "
+        "extra epoch-level matmul, -42%% gather bytes)",
+    )
     p.add_argument(
         "--with-eval", action=argparse.BooleanOptionalAction, default=True,
         help="also time a scanned candidate-list eval epoch (tgn only; adds "

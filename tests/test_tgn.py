@@ -296,6 +296,51 @@ def test_pipeline_packed_state_equivalence():
     assert out[True][1] == out[False][1] and out[True][2] == out[False][2]
 
 
+def test_pipeline_eval_proj_table_equivalence():
+    """Pre-projected eval feature table (eval_proj_table / nbr_proj_table)
+    must match the raw-gather eval path up to split-sum association: the
+    lin_edge dot over [time ‖ msg] becomes two dots summed, so scores agree
+    to f32 epsilon and the MRR counts are identical."""
+    from tgm_tpu.data.dg_data import DGData
+    from tgm_tpu.core.graph import DGraph
+    from tgm_tpu.train import DeviceEdgeStream, TGNPipeline, jit_scan_epoch
+
+    rng = np.random.default_rng(11)
+    N, E, D, B, Q = 40, 320, 6, 64, 4
+    data = DGData.from_raw(
+        edge_time=np.sort(rng.integers(0, 5000, E)),
+        edge_index=np.stack([rng.integers(0, N, E), rng.integers(0, N, E)], 1),
+        edge_x=rng.normal(size=(E, D)).astype(np.float32),
+        time_delta="s",
+    )
+    dg = DGraph(data)
+    stream = DeviceEdgeStream(dg, B)
+    cands = jnp.asarray(rng.integers(0, N, (B, Q)).astype(np.int32))
+    pipe = TGNPipeline(
+        num_nodes=N, edge_dim=D, memory_dim=8, embed_dim=8, time_dim=6,
+        num_nbrs=5, lr=1e-3, neg_low=0, neg_high=N, edge_x_full=stream.edge_x,
+    )
+    carry = pipe.init_carry(jax.random.PRNGKey(7))
+    epoch = jit_scan_epoch(pipe.train_step, stream.batch_at,
+                           stream.num_batches, donate_carry=False)
+    carry, _ = epoch(carry)
+    carry = pipe.flush_all(carry)
+
+    out = {}
+    for use_proj in (False, True):
+        proj = pipe.eval_proj_table(carry.params) if use_proj else None
+        c2 = carry
+        ss = []
+        for i in range(3):  # a few steps so state evolution is covered too
+            c2, (s, c) = jax.jit(pipe.eval_step)(
+                c2, stream.batch_at(i), cands, nbr_proj_table=proj)
+            ss.append((float(s), float(c)))
+        out[use_proj] = ss
+    for (s0, c0), (s1, c1) in zip(out[False], out[True]):
+        assert c0 == c1
+        np.testing.assert_allclose(s1, s0, rtol=1e-5, atol=1e-5)
+
+
 def test_pipeline_packed_recency_equivalence():
     """Packed (N,K,3) recency buffer must match the separate-buffer eid mode."""
     from tgm_tpu.data.dg_data import DGData

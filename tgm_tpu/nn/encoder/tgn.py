@@ -27,7 +27,7 @@ padded local edge list (no PyG, no dynamic shapes).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Set, Tuple
+from typing import Any, NamedTuple, Optional, Set, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -703,6 +703,26 @@ class GraphAttentionEmbedding(nn.Module):
         return out.reshape(U, self.out_channels) + self.lin_skip(x)
 
 
+def rowwise_project_edge_feats(
+    enc_params: Any,
+    edge_x_full: jnp.ndarray,  # (E, msg_dim) static split feature table
+    time_dim: int,
+    kv_bf16: bool,
+) -> jnp.ndarray:
+    """Loop-invariant message half of the rowwise lin_edge projection.
+
+    ``edge_x_full @ lin_edge.kernel[time_dim:]`` — valid whenever the
+    encoder params are frozen across the epoch (eval). The per-batch
+    feature gather then fetches ``out_channels``-wide projected rows
+    instead of ``msg_dim``-wide raw ones, and the per-batch message
+    projection matmul disappears (see ``nbr_msg_proj``). Zero rows project
+    to zero (no bias), so the gather's PAD handling is unchanged.
+    """
+    kern = enc_params["params"]["lin_edge"]["kernel"]
+    kvdt = jnp.bfloat16 if kv_bf16 else kern.dtype
+    return jnp.dot(edge_x_full.astype(kvdt), kern[time_dim:].astype(kvdt))
+
+
 class GraphAttentionEmbeddingRowwise(nn.Module):
     """Dense per-seed attention over each seed's K recent neighbors.
 
@@ -754,6 +774,7 @@ class GraphAttentionEmbeddingRowwise(nn.Module):
         nbr_msg: jnp.ndarray,  # (S, K, msg_dim)
         nbr_valid: jnp.ndarray,  # (S, K) bool
         deterministic: bool = True,
+        nbr_msg_proj: Optional[jnp.ndarray] = None,  # (S, K, out) msg @ W_m
     ) -> jnp.ndarray:
         S, K = nbr_valid.shape
         H, C = self.n_heads, self.head_dim
@@ -769,11 +790,26 @@ class GraphAttentionEmbeddingRowwise(nn.Module):
         # {0,2,1} copies on the (4400, 10, 172/100) inputs); the flatten is
         # a free bitcast on the gather's natural row-major layout and the
         # 2-D dot needs no relayout. Same math, same accumulation dims.
-        edge_attr = jnp.concatenate(
-            [time_feat.reshape(S * K, -1), nbr_msg.reshape(S * K, -1)],
-            axis=-1,
-        )
-        e = self.lin_edge(edge_attr).reshape(S, K, H, C)
+        if nbr_msg_proj is not None:
+            # Pre-projected message half of the lin_edge dot (eval-only:
+            # params are frozen, so edge_x_full @ W_m is computed ONCE per
+            # epoch by project_edge_feats and the per-batch gather fetches
+            # out_channels-wide projected rows instead of msg_dim-wide raw
+            # ones). The time half uses the SAME lin_edge kernel slice, so
+            # e differs from the fused dot only by split-sum association.
+            kern = self.lin_edge.variables["params"]["kernel"]
+            T = time_feat.shape[-1]
+            kvdt = jnp.bfloat16 if self.kv_bf16 else kern.dtype
+            e_t = jnp.dot(time_feat.reshape(S * K, -1),
+                          kern[:T].astype(kvdt))
+            e = (e_t + nbr_msg_proj.reshape(S * K, -1).astype(kvdt)
+                 ).reshape(S, K, H, C)
+        else:
+            edge_attr = jnp.concatenate(
+                [time_feat.reshape(S * K, -1), nbr_msg.reshape(S * K, -1)],
+                axis=-1,
+            )
+            e = self.lin_edge(edge_attr).reshape(S, K, H, C)
 
         q = self.lin_query(x_seed).reshape(S, H, C)
         xn2 = x_nbr.reshape(S * K, -1)

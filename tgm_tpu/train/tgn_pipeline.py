@@ -177,6 +177,7 @@ class TGNPipeline(StaticTablesMixin):
         self.opt = optax.adam(lr)
         self.embed_dim = embed_dim
         self.memory_dim = memory_dim
+        self.time_dim = time_dim
 
     # ------------------------------------------------------------------ #
     def init_carry(self, rng: jnp.ndarray) -> TGNCarry:
@@ -405,6 +406,7 @@ class TGNPipeline(StaticTablesMixin):
         batch: DGBatch,
         cands: jnp.ndarray,  # (B, Q) negative candidate dst ids
         cand_times: Optional[jnp.ndarray] = None,  # (B, Q); default edge_time
+        nbr_proj_table: Optional[jnp.ndarray] = None,  # (E, embed) eval_proj_table
     ) -> Tuple[TGNCarry, Tuple[jnp.ndarray, jnp.ndarray]]:
         """Scanned evaluation: score each edge against its candidate list and
         advance state with reference eval-mode ordering (store messages, then
@@ -427,10 +429,17 @@ class TGNPipeline(StaticTablesMixin):
         seed_t = jnp.concatenate(
             [batch.edge_time, batch.edge_time, cand_times.reshape(-1)]
         )
+        nbr_proj = None
         if self.edge_x_full is not None:
             q = recency_pk_query if self.packed_recency else recency_eid_query
             nbr_ids, nbr_t, nbr_e = q(rec_state, seeds, seed_t, K)
-            nbr_x = gather_edge_feats(self.edge_x_full, nbr_e)
+            if nbr_proj_table is not None:
+                # Pre-projected table (eval_proj_table): gather embed-wide
+                # projected rows; the encoder skips its message projection.
+                nbr_proj = gather_edge_feats(nbr_proj_table, nbr_e)
+                nbr_x = nbr_proj
+            else:
+                nbr_x = gather_edge_feats(self.edge_x_full, nbr_e)
         else:
             nbr_ids, nbr_t, nbr_x = recency_query(rec_state, seeds, seed_t, K)
 
@@ -460,6 +469,7 @@ class TGNPipeline(StaticTablesMixin):
             nbr_t,
             nbr_x,
             nbr_ids != PADDED_NODE_ID,
+            nbr_msg_proj=nbr_proj,
         )
         z_src, z_dst, z_cand = z[:B], z[B : 2 * B], z[2 * B :]
         pos = self.decoder.apply(params["dec"], z_src, z_dst)
@@ -542,6 +552,23 @@ class TGNPipeline(StaticTablesMixin):
                 batch.edge_x, batch.edge_valid, directed=False,
             )
         return TGNCarry(params, opt_state, mem_state, rec_state, rng)
+
+    def eval_proj_table(self, params: Any) -> jnp.ndarray:
+        """Pre-project the static feature table for the eval epoch.
+
+        Eval params are frozen, so ``edge_x_full @ lin_edge.kernel[T:]`` is
+        loop-invariant: compute it once per epoch (one (E, msg)·(msg, embed)
+        matmul) and pass it to :meth:`eval_step` as ``nbr_proj_table`` — the
+        per-batch 44k-row feature gather then moves embed-wide projected rows
+        and the per-batch message projection disappears. Differs from the
+        fused dot only by split-sum association (the time and message halves
+        accumulate separately)."""
+        assert self.rowwise and self.edge_x_full is not None
+        from ..nn.encoder.tgn import rowwise_project_edge_feats
+
+        return rowwise_project_edge_feats(
+            params["enc"], self.edge_x_full, self.time_dim, self.attn_bf16
+        )
 
     def flush_all(self, carry: TGNCarry) -> TGNCarry:
         """Train -> eval transition (flush pending messages, clear stores)."""
