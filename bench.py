@@ -248,6 +248,22 @@ def run_fused_eval(args, dg, stream, num_edges, pipe, carry) -> dict:
         # rows instead of msg-wide raw ones (see TGNPipeline.eval_proj_table).
         proj = pipe.eval_proj_table(c.params) if args.eval_proj_table else None
 
+        if args.eval_mem_bf16:
+            # bf16 memory mirror for the S*K neighbor-memory gather
+            # (bit-identical on the bf16 K/V path; half the gather bytes).
+            mirror = pipe.eval_mem_bf16(c)
+
+            def body_m(cm, i):
+                c, m = cm
+                rows = lax.dynamic_slice(cands, (i * B, 0), (B, Q))
+                c, sc, m = pipe.eval_step(c, stream.batch_at(i), rows,
+                                          nbr_proj_table=proj, mem_bf16=m)
+                return (c, m), sc
+
+            (c, _), scs = lax.scan(body_m, (c, mirror), jnp.arange(nb),
+                                   unroll=args.eval_unroll)
+            return c, scs
+
         def body(c, i):
             rows = lax.dynamic_slice(cands, (i * B, 0), (B, Q))
             return pipe.eval_step(c, stream.batch_at(i), rows,
@@ -499,6 +515,13 @@ def main() -> None:
         help="eval epoch gathers from the pre-projected (embed-wide) feature "
         "table instead of the raw msg-wide one (params frozen in eval; one "
         "extra epoch-level matmul, -42%% gather bytes)",
+    )
+    p.add_argument(
+        "--eval-mem-bf16", action=argparse.BooleanOptionalAction,
+        default=False,
+        help="eval epoch gathers neighbor memory rows from a bf16 mirror of "
+        "the memory table (bit-identical on the bf16 K/V path; the mirror's "
+        "flushed rows are refreshed per batch)",
     )
     p.add_argument(
         "--with-eval", action=argparse.BooleanOptionalAction, default=True,

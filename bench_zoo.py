@@ -479,7 +479,7 @@ def bench_tncn(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
     # capacity caps at num_nodes+1 anyway, so dedup buys nothing there. The
     # global space trades those sorts + the g2l scatter + every map_to_local
     # gather for ~1.4x larger (still tiny) dense compares/matmuls in train.
-    use_global = getattr(args, "tncn_space", "dedup") == "global"
+    use_global = getattr(args, "tncn_space", "global") == "global"
     if not use_global:
         hm.register_shared(
             DeduplicationHook(num_nodes, seed_nodes_keys=["neg", "nbr_nids"])
@@ -970,11 +970,11 @@ def main() -> None:
                    "model (Q=20 synthetic TGB-style lists; adds a "
                    "*_eval_edges_per_sec JSON line)")
     p.add_argument("--tncn-space", choices=["dedup", "global"],
-                   default="dedup",
-                   help="tncn local-id space: dedup = per-batch "
-                   "DeduplicationHook (jnp.unique sort in-scan); global = "
-                   "raw node ids (no sort, no g2l scatter, ~1.4x larger "
-                   "dense ops)")
+                   default="global",
+                   help="tncn local-id space: global (default; measured "
+                   "+3.1%% train / +13.4%% eval on v5e vs dedup) = raw node "
+                   "ids, no in-scan jnp.unique sort, no g2l scatter; dedup = "
+                   "per-batch DeduplicationHook local space")
     args = p.parse_args()
 
     import os

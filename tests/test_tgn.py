@@ -341,6 +341,54 @@ def test_pipeline_eval_proj_table_equivalence():
         np.testing.assert_allclose(s1, s0, rtol=1e-5, atol=1e-5)
 
 
+def test_pipeline_eval_mem_bf16_mirror_exact():
+    """bf16 memory mirror (eval_mem_bf16 / mem_bf16): neighbor rows feed only
+    the bf16 K/V path, which casts them right after the gather — reading a
+    bf16 mirror instead must be BIT-identical, including across the per-batch
+    mirror refresh of flushed rows."""
+    from tgm_tpu.data.dg_data import DGData
+    from tgm_tpu.core.graph import DGraph
+    from tgm_tpu.train import DeviceEdgeStream, TGNPipeline, jit_scan_epoch
+
+    rng = np.random.default_rng(13)
+    N, E, D, B, Q = 40, 320, 6, 64, 4
+    data = DGData.from_raw(
+        edge_time=np.sort(rng.integers(0, 5000, E)),
+        edge_index=np.stack([rng.integers(0, N, E), rng.integers(0, N, E)], 1),
+        edge_x=rng.normal(size=(E, D)).astype(np.float32),
+        time_delta="s",
+    )
+    dg = DGraph(data)
+    stream = DeviceEdgeStream(dg, B)
+    cands = jnp.asarray(rng.integers(0, N, (B, Q)).astype(np.int32))
+    pipe = TGNPipeline(
+        num_nodes=N, edge_dim=D, memory_dim=8, embed_dim=8, time_dim=6,
+        num_nbrs=5, lr=1e-3, neg_low=0, neg_high=N, edge_x_full=stream.edge_x,
+        attn_bf16=True,
+    )
+    carry = pipe.init_carry(jax.random.PRNGKey(7))
+    epoch = jit_scan_epoch(pipe.train_step, stream.batch_at,
+                           stream.num_batches, donate_carry=False)
+    carry, _ = epoch(carry)
+    carry = pipe.flush_all(carry)
+
+    c_ref = carry
+    ref = []
+    for i in range(4):
+        c_ref, (s, c) = jax.jit(pipe.eval_step)(c_ref, stream.batch_at(i), cands)
+        ref.append((float(s), float(c)))
+
+    c2, mirror = carry, pipe.eval_mem_bf16(carry)
+    got = []
+    for i in range(4):
+        c2, (s, c), mirror = jax.jit(pipe.eval_step)(
+            c2, stream.batch_at(i), cands, mem_bf16=mirror)
+        got.append((float(s), float(c)))
+    assert got == ref
+    np.testing.assert_array_equal(
+        np.asarray(mirror), np.asarray(c2.mem_state.mem.astype(jnp.bfloat16)))
+
+
 def test_pipeline_packed_recency_equivalence():
     """Packed (N,K,3) recency buffer must match the separate-buffer eid mode."""
     from tgm_tpu.data.dg_data import DGData

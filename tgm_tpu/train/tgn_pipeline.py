@@ -407,6 +407,7 @@ class TGNPipeline(StaticTablesMixin):
         cands: jnp.ndarray,  # (B, Q) negative candidate dst ids
         cand_times: Optional[jnp.ndarray] = None,  # (B, Q); default edge_time
         nbr_proj_table: Optional[jnp.ndarray] = None,  # (E, embed) eval_proj_table
+        mem_bf16: Optional[jnp.ndarray] = None,  # (N+1, M) bf16 memory mirror
     ) -> Tuple[TGNCarry, Tuple[jnp.ndarray, jnp.ndarray]]:
         """Scanned evaluation: score each edge against its candidate list and
         advance state with reference eval-mode ordering (store messages, then
@@ -444,16 +445,33 @@ class TGNPipeline(StaticTablesMixin):
             nbr_ids, nbr_t, nbr_x = recency_query(rec_state, seeds, seed_t, K)
 
         S = seeds.shape[0]
-        rows = jnp.concatenate([seeds, nbr_ids.reshape(-1)])
         # Eval mode: stored memory, no staging (reference tgn.py:157-163).
         # Only the SEED rows' last_update feeds the encoder, and the
         # narrow-int gather is per-element-serialized on TPU (profiled at
         # 321 us/batch for all S+S*K rows vs ~30 us for seeds only) — gather
         # memory for every row but last_update for seeds alone.
-        z_mem, _ = self.memory.apply(
-            params["mem"], mem_state, rows, False,
-            method=TGNMemory.stage_packed if self.packed_state else TGNMemory.stage,
-        )
+        if mem_bf16 is not None:
+            # bf16 memory mirror: the S*K neighbor rows feed ONLY the bf16
+            # K/V path, which casts them to bf16 right after the gather —
+            # gathering from a bf16 mirror is bit-identical at half the
+            # gather bytes. Seeds stay f32 (they feed lin_query/lin_skip).
+            z_mem, _ = self.memory.apply(
+                params["mem"], mem_state, seeds, False,
+                method=TGNMemory.stage_packed if self.packed_state else TGNMemory.stage,
+            )
+            n = mem_bf16.shape[0] - 1
+            nbr_flat = nbr_ids.reshape(-1)
+            nbr_rows = jnp.where((nbr_flat >= 0) & (nbr_flat < n), nbr_flat, n)
+            x_nbr = mem_bf16[nbr_rows].reshape(S, K, self.memory_dim)
+            x_seed = z_mem
+        else:
+            rows = jnp.concatenate([seeds, nbr_ids.reshape(-1)])
+            z_mem, _ = self.memory.apply(
+                params["mem"], mem_state, rows, False,
+                method=TGNMemory.stage_packed if self.packed_state else TGNMemory.stage,
+            )
+            x_seed = z_mem[:S]
+            x_nbr = z_mem[S:].reshape(S, K, self.memory_dim)
         seed_rows = jnp.where(
             (seeds >= 0) & (seeds < self.num_nodes), seeds, self.num_nodes
         )
@@ -463,8 +481,8 @@ class TGNPipeline(StaticTablesMixin):
             last_upd_seeds = mem_state.last_update[seed_rows]
         z = self.encoder.apply(
             params["enc"],
-            z_mem[:S],
-            z_mem[S:].reshape(S, K, self.memory_dim),
+            x_seed,
+            x_nbr,
             last_upd_seeds,
             nbr_t,
             nbr_x,
@@ -512,7 +530,26 @@ class TGNPipeline(StaticTablesMixin):
                 rec_state, batch.edge_src, batch.edge_dst, batch.edge_time,
                 batch.edge_x, batch.edge_valid, directed=False,
             )
-        return TGNCarry(params, opt_state, mem_state, rec_state, rng), (s, c)
+        out_carry = TGNCarry(params, opt_state, mem_state, rec_state, rng)
+        if mem_bf16 is not None:
+            # Refresh the mirror's flushed rows (<= 2B per batch): gather the
+            # just-written f32 rows and scatter their bf16 casts. The dump
+            # row stays 0 (flush writes 0 there).
+            touched = jnp.where(
+                (nodes >= 0) & (nodes < self.num_nodes), nodes, self.num_nodes
+            )
+            mem_bf16 = mem_bf16.at[touched].set(
+                mem_state.mem[touched].astype(jnp.bfloat16), mode="drop"
+            )
+            return out_carry, (s, c), mem_bf16
+        return out_carry, (s, c)
+
+    def eval_mem_bf16(self, carry: TGNCarry) -> jnp.ndarray:
+        """Initial bf16 mirror of the (flushed) memory table for an eval
+        epoch (see ``eval_step``'s ``mem_bf16``). Only valid with the bf16
+        K/V attention path, where the neighbor rows are cast to bf16 anyway."""
+        assert self.attn_bf16 and not self.packed_state
+        return carry.mem_state.mem.astype(jnp.bfloat16)
 
     def eval_advance_state(self, carry: TGNCarry, batch: DGBatch) -> TGNCarry:
         """Advance ONLY the carried state (memory commit + recency buffers)
