@@ -323,9 +323,14 @@ def bench_ctan(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
             edge_x_full=dg._storage._data.edge_x,
         )
     )
-    hm.register_shared(
-        DeduplicationHook(num_nodes, seed_nodes_keys=["neg", "nbr_nids"])
-    )
+    # Same local-id-space choice as bench_tncn: "global" drops the per-batch
+    # jnp.unique sort + g2l scatter (measured +3.1%/+13.4% train/eval for
+    # TNCN on v5e) at the cost of ~1.4x larger dense encoder ops.
+    use_global = getattr(args, "ctan_space", "global") == "global"
+    if not use_global:
+        hm.register_shared(
+            DeduplicationHook(num_nodes, seed_nodes_keys=["neg", "nbr_nids"])
+        )
     t = np.asarray(dg.edge_time, dtype=np.float64)
     dts = np.diff(t) if len(t) > 1 else np.ones(1)
     encoder = CTAN(
@@ -352,17 +357,28 @@ def bench_ctan(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
     opt_state = opt.init(params)
     mem_state = ctan_memory_init(num_nodes, embed_dim)
 
-    def encode(p, mem_state, batch):
+    def make_loc(batch):
+        if use_global:
+            return lambda ids: ids
         g2l = batch.global_to_local
-        uids = batch.unique_nids
-        rows = jnp.where(uids >= 0, uids, num_nodes)
-        x = jnp.concatenate(
-            [
-                mem_state.memory[rows],
-                node_x[jnp.maximum(uids, 0)] * (uids >= 0)[:, None],
-            ],
-            axis=1,
-        )
+        return lambda ids: map_to_local(g2l, ids)
+
+    def encode(p, mem_state, batch):
+        loc = make_loc(batch)
+        if use_global:
+            x = jnp.concatenate([mem_state.memory[:num_nodes], node_x], axis=1)
+            last_upd = mem_state.last_update[:num_nodes]
+        else:
+            uids = batch.unique_nids
+            rows = jnp.where(uids >= 0, uids, num_nodes)
+            x = jnp.concatenate(
+                [
+                    mem_state.memory[rows],
+                    node_x[jnp.maximum(uids, 0)] * (uids >= 0)[:, None],
+                ],
+                axis=1,
+            )
+            last_upd = mem_state.last_update[rows]
         seeds = batch.seed_nids[0]
         nbrs = batch.nbr_nids[0]
         Kn = nbrs.shape[1]
@@ -370,21 +386,21 @@ def bench_ctan(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
         nbr_flat = nbrs.reshape(-1)
         e_valid = (nbr_flat != PADDED_NODE_ID) & (src_rep != PADDED_NODE_ID)
         return encoder.apply(
-            p["enc"], x, mem_state.last_update[rows],
-            map_to_local(g2l, src_rep), map_to_local(g2l, nbr_flat),
+            p["enc"], x, last_upd,
+            loc(src_rep), loc(nbr_flat),
             batch.nbr_edge_time[0].reshape(-1),
             batch.nbr_edge_x[0].reshape(nbr_flat.shape[0], -1), e_valid,
         )
 
     def core(carry, batch):
         params, opt_state, mem_state = carry
-        g2l = batch.global_to_local
+        loc = make_loc(batch)
 
         def loss_fn(p):
             z = encode(p, mem_state, batch)
-            zs = z[map_to_local(g2l, batch.edge_src)]
-            zd = z[map_to_local(g2l, batch.edge_dst)]
-            zn = z[map_to_local(g2l, batch.neg)]
+            zs = z[loc(batch.edge_src)]
+            zd = z[loc(batch.edge_dst)]
+            zn = z[loc(batch.neg)]
             pos = decoder.apply(p["dec"], zs, zd)
             neg = decoder.apply(p["dec"], zs, zn)
             return _bce(pos, neg, batch.edge_valid), (zs, zd)
@@ -416,11 +432,11 @@ def bench_ctan(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
         params, mem_state = carry
         B = batch.edge_src.shape[0]
         Q = batch.neg_batch_list.shape[1]
-        g2l = batch.global_to_local
+        loc = make_loc(batch)
         z = encode(params, mem_state, batch)
-        zs = z[map_to_local(g2l, batch.edge_src)]
-        zd = z[map_to_local(g2l, batch.edge_dst)]
-        zn = z[map_to_local(g2l, batch.neg_batch_list.reshape(-1))]
+        zs = z[loc(batch.edge_src)]
+        zd = z[loc(batch.edge_dst)]
+        zn = z[loc(batch.neg_batch_list.reshape(-1))]
         pos = decoder.apply(params["dec"], zs, zd)
         neg = decoder.apply(
             params["dec"],
@@ -969,6 +985,9 @@ def main() -> None:
                    help="also time a scanned candidate-list eval epoch per "
                    "model (Q=20 synthetic TGB-style lists; adds a "
                    "*_eval_edges_per_sec JSON line)")
+    p.add_argument("--ctan-space", choices=["dedup", "global"],
+                   default="global",
+                   help="ctan local-id space (see --tncn-space)")
     p.add_argument("--tncn-space", choices=["dedup", "global"],
                    default="global",
                    help="tncn local-id space: global (default; measured "

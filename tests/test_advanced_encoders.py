@@ -235,6 +235,76 @@ def test_ctan_forward_and_memory():
     np.testing.assert_allclose(np.asarray(state.memory[2]), 2.0)  # dst of t=7 event
 
 
+def test_ctan_global_space_matches_dedup():
+    """CTAN over the global-node-id space (bench_zoo --ctan-space global)
+    is BIT-identical per node to the dedup local space: node rows, segment
+    groups, and per-row Dense projections are all id-space-independent."""
+    from tgm_tpu.core.graph import DGraph
+    from tgm_tpu.data.dg_data import DGData
+    from tgm_tpu.data.loader import DGDataLoader
+    from tgm_tpu.hooks import (
+        DeduplicationHook,
+        HookManager,
+        RandomNegativeEdgeSamplerHook,
+        RecencyNeighborHook,
+        map_to_local,
+    )
+
+    rng = np.random.default_rng(3)
+    E, N, D, ED = 240, 40, 8, 4
+    data = DGData.from_raw(
+        edge_time=np.sort(rng.integers(0, 1000, E)),
+        edge_index=rng.integers(0, N, (E, 2)),
+        edge_x=rng.normal(size=(E, ED)).astype(np.float32),
+        time_delta="s",
+    )
+    dg = DGraph(data)
+    hm = HookManager(keys=["train"])
+    hm.register("train", RandomNegativeEdgeSamplerHook(low=0, high=N))
+    hm.register_shared(
+        RecencyNeighborHook(N, [4], ["edge_src", "edge_dst", "neg"],
+                            ["edge_time", "edge_time", "neg_time"],
+                            edge_dim=ED, edge_x_full=data.edge_x)
+    )
+    hm.register_shared(DeduplicationHook(N, seed_nodes_keys=["neg", "nbr_nids"]))
+    loader = DGDataLoader(dg, 60, hook_manager=hm)
+    with hm.activate("train"):
+        batches = list(loader)
+    batch = batches[2]
+    node_x = jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32))
+    mem = jnp.asarray(rng.normal(size=(N + 1, D)).astype(np.float32))
+    last = jnp.asarray(rng.integers(0, 100, N + 1), jnp.int32)
+    m = CTAN(edge_dim=ED, memory_dim=D, time_dim=6, node_dim=3, num_iters=1,
+             mean_delta_t=1.0, std_delta_t=1.0)
+
+    seeds = batch.seed_nids[0]
+    nbrs = batch.nbr_nids[0]
+    Kn = nbrs.shape[1]
+    src_rep = jnp.repeat(seeds, Kn)
+    nbr_flat = nbrs.reshape(-1)
+    e_valid = (nbr_flat != PADDED_NODE_ID) & (src_rep != PADDED_NODE_ID)
+    e_t = batch.nbr_edge_time[0].reshape(-1)
+    e_x = batch.nbr_edge_x[0].reshape(nbr_flat.shape[0], -1)
+
+    g2l = batch.global_to_local
+    uids = batch.unique_nids
+    rows = jnp.where(uids >= 0, uids, N)
+    x_local = jnp.concatenate(
+        [mem[rows], node_x[jnp.maximum(uids, 0)] * (uids >= 0)[:, None]], 1)
+    x_global = jnp.concatenate([mem[:N], node_x], 1)
+    params = m.init(KEY, x_global, last[:N], src_rep, nbr_flat, e_t, e_x,
+                    e_valid)
+    z_local = m.apply(params, x_local, last[rows],
+                      map_to_local(g2l, src_rep), map_to_local(g2l, nbr_flat),
+                      e_t, e_x, e_valid)
+    z_global = m.apply(params, x_global, last[:N], src_rep, nbr_flat,
+                       e_t, e_x, e_valid)
+    uq = np.asarray(uids)
+    sel = (uq >= 0) & (uq < N)
+    np.testing.assert_array_equal(np.asarray(z_local)[sel],
+                                  np.asarray(z_global)[uq[sel]])
+
+
 # ------------------------------------------------------------------ #
 # NCN predictor
 # ------------------------------------------------------------------ #
