@@ -215,7 +215,62 @@ def run_hook_bench(args, dg, stream, num_nodes, num_edges, edge_dim,
         )
         out.update(run_fused_eval(args, dg, stream, num_edges, pipe,
                                   pipe.init_carry(jax.random.PRNGKey(0))))
+    if getattr(args, "machine", None):
+        out["machine"] = args.machine
     print(json.dumps(out))
+
+
+def machine_calibration() -> dict:
+    """Raw-speed fingerprint of the ambient device/tunnel session.
+
+    The remote-TPU allocation behind the axon tunnel varies run to run: the
+    SAME commit measured 351.1k/217.0k train/eval edges/s in one session and
+    239.6k/89.2k in the next (r4, /tmp clone A/B at 847ccf5 — no code delta).
+    Recording two microbenchmarks next to every headline number lets readers
+    normalize across sessions:
+
+    * ``gather_ns_row`` — in-scan row gather of 44,000 rows from a
+      bf16(157474, 172) table (the eval epoch's hot gather shape). Fast
+      sessions measure ~3.2 ns/row, degraded ones ~7.7 ns/row (2.4x — the
+      same factor as the eval epoch, which is gather-bound).
+    * ``matmul_tflops`` — bf16(2048²) matmul chain with f32 accumulation
+      (MXU single-pass; v5e peak is ~197 TFLOP/s).
+
+    Closure-resident scans (the remote client executes argument-fed programs
+    lazily — CLAUDE.md), timed after a warmup execution.
+    """
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    out = {}
+    tbl = jnp.ones((157_474, 172), jnp.bfloat16)
+    idx = (jnp.arange(44_000, dtype=jnp.int32) * 2_654_435 % 157_474)
+
+    def g_body(c, _):
+        rows = tbl[(idx + c) % 157_474]
+        return c + 1, rows.sum()
+
+    g = jax.jit(lambda: lax.scan(g_body, jnp.int32(0), None, length=100)[1])
+    jax.block_until_ready(g())
+    t0 = _time.perf_counter()
+    jax.block_until_ready(g())
+    out["gather_ns_row"] = round((_time.perf_counter() - t0) / (100 * 44_000) * 1e9, 2)
+
+    a = jnp.full((2048, 2048), 0.5, jnp.bfloat16)
+
+    def m_body(x, _):
+        y = jnp.matmul(x, a, preferred_element_type=jnp.float32)
+        return (y * (1.0 / 1024.0)).astype(jnp.bfloat16), None
+
+    m = jax.jit(lambda: lax.scan(m_body, a, None, length=50)[0])
+    jax.block_until_ready(m())
+    t0 = _time.perf_counter()
+    jax.block_until_ready(m())
+    out["matmul_tflops"] = round(50 * 2 * 2048**3 / (_time.perf_counter() - t0) / 1e12, 1)
+    return out
 
 
 def run_fused_eval(args, dg, stream, num_edges, pipe, carry) -> dict:
@@ -524,6 +579,20 @@ def main() -> None:
         "flushed rows are refreshed per batch)",
     )
     p.add_argument(
+        "--calibrate", action=argparse.BooleanOptionalAction, default=True,
+        help="record a raw-speed fingerprint (gather ns/row, matmul TFLOP/s) "
+        "of the ambient device session in the JSON line — the remote-TPU "
+        "allocation varies run to run (same commit measured 217.0k and "
+        "89.2k eval edges/s in consecutive sessions); the fingerprint lets "
+        "readers normalize headline numbers across sessions",
+    )
+    p.add_argument(
+        "--eval-only", action="store_true",
+        help="skip the train bench entirely and time ONLY the fused eval "
+        "epoch (fresh carry — eval throughput is state-content-independent). "
+        "For A/B-ing eval levers without recompiling the train program",
+    )
+    p.add_argument(
         "--with-eval", action=argparse.BooleanOptionalAction, default=True,
         help="also time a scanned candidate-list eval epoch (tgn only; adds "
         "eval_edges_per_sec to the JSON line). Default ON so the driver's "
@@ -554,6 +623,10 @@ def main() -> None:
     from tgm_tpu.core.graph import DGraph
     from tgm_tpu.train import DeviceEdgeStream, TGNPipeline, jit_scan_epoch
 
+    # Session fingerprint first (cheap, cached): appended to the JSON line
+    # by every bench path so cross-session comparisons stay honest.
+    args.machine = machine_calibration() if args.calibrate and not args.smoke else None
+
     if args.smoke:
         num_nodes, num_edges, edge_dim = 500, 8_000, 32
     else:
@@ -571,6 +644,26 @@ def main() -> None:
     fused_only_flags = (
         args.dedup_staging or args.unroll != 1 or args.feat_bf16 != "auto"
     )
+    if args.eval_only:
+        pipe = TGNPipeline(
+            num_nodes=num_nodes, edge_dim=edge_dim, memory_dim=100,
+            embed_dim=100, time_dim=100, num_nbrs=10, lr=1e-4,
+            neg_low=int(dg.edge_dst.min()), neg_high=int(dg.edge_dst.max()),
+            edge_x_full=stream.edge_x,
+            feat_bf16=feat_bf16,
+            attn_bf16={"auto": None, "on": True, "off": False}[args.attn_bf16],
+        )
+        out = {"metric": "tgn_eval_only", "unit": "edges/s",
+               "eval_proj_table": args.eval_proj_table,
+               "eval_mem_bf16": args.eval_mem_bf16,
+               "eval_unroll": args.eval_unroll}
+        out.update(run_fused_eval(args, dg, stream, num_edges, pipe,
+                                  pipe.init_carry(jax.random.PRNGKey(0))))
+        if getattr(args, "machine", None):
+            out["machine"] = args.machine
+        print(json.dumps(out))
+        return
+
     if args.model == "tgn-hooks" or (args.model == "tgn" and not fused_only_flags):
         run_hook_bench(args, dg, stream, num_nodes, num_edges, edge_dim,
                        canonical=args.model == "tgn")
@@ -667,6 +760,8 @@ def main() -> None:
     if args.with_eval and args.model in ("tgn", "tgn-fused"):
         out.update(run_fused_eval(args, dg, stream, num_edges, pipe, carry))
 
+    if getattr(args, "machine", None):
+        out["machine"] = args.machine
     print(json.dumps(out))
 
 
