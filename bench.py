@@ -220,44 +220,81 @@ def run_hook_bench(args, dg, stream, num_nodes, num_edges, edge_dim,
     print(json.dumps(out))
 
 
+# Publishable-session thresholds (docs/performance.md "Session variance").
+# Measured r5: a KNOWN-degraded allocation (train/eval epochs match r4's
+# degraded session exactly: 239.7k/89.2k) reads gather 5.09 ns/row while its
+# MXU is at full speed (189 TFLOP/s, 96% of v5e peak) — the session variance
+# is in the HBM/gather path only, and the eval ratio (217.0k/89.2k = 2.43x)
+# implies a fast session reads ~2.1 ns/row. 4.0 splits the two clusters.
+SESSION_GATHER_NS_ROW_MAX = 4.0
+SESSION_MATMUL_TFLOPS_MIN = 80.0
+
+
 def machine_calibration() -> dict:
     """Raw-speed fingerprint of the ambient device/tunnel session.
 
     The remote-TPU allocation behind the axon tunnel varies run to run: the
     SAME commit measured 351.1k/217.0k train/eval edges/s in one session and
     239.6k/89.2k in the next (r4, /tmp clone A/B at 847ccf5 — no code delta).
-    Recording two microbenchmarks next to every headline number lets readers
+    Recording microbenchmarks next to every headline number lets readers
     normalize across sessions:
 
     * ``gather_ns_row`` — in-scan row gather of 44,000 rows from a
       bf16(157474, 172) table (the eval epoch's hot gather shape). Fast
-      sessions measure ~3.2 ns/row, degraded ones ~7.7 ns/row (2.4x — the
-      same factor as the eval epoch, which is gather-bound).
+      sessions measure ~3 ns/row, degraded ones 2-3x worse (the same factor
+      as the eval epoch, which is gather-bound).
     * ``matmul_tflops`` — bf16(2048²) matmul chain with f32 accumulation
       (MXU single-pass; v5e peak is ~197 TFLOP/s).
+    * ``dispatch_ms`` — fixed per-dispatch overhead (tunnel round-trip +
+      remote dispatch), the intercept of the gather timing line. Measured
+      ~22 ms on this tunnel — which is why the old single-dispatch
+      calibration doubled the apparent ns/row. Reported separately so it
+      never contaminates the two device numbers.
 
-    Closure-resident scans (the remote client executes argument-fed programs
-    lazily — CLAUDE.md), timed after a warmup execution.
-    """
+    Both device numbers are SLOPES between two scan lengths of the same
+    closure-resident program (timed after a warmup execution; the remote
+    client executes closed-over-constant programs eagerly — CLAUDE.md), so
+    the constant per-dispatch tunnel latency cancels exactly. The r4
+    calibration timed a single short dispatch and conflated RTT with chip
+    speed (its "31.2 TFLOP/s" was mostly link latency — r4 verdict item 1).
+
+    ``session`` classifies the allocation against the publishable-session
+    rule: "ok" iff gather_ns_row <= %(g).1f and matmul_tflops >= %(m).0f,
+    else "degraded". Headline cross-session comparisons should only be made
+    between "ok" sessions.
+    """ % {"g": SESSION_GATHER_NS_ROW_MAX, "m": SESSION_MATMUL_TFLOPS_MIN}
     import time as _time
 
     import jax
     import jax.numpy as jnp
     from jax import lax
 
+    def timed(fn, reps=3):
+        jax.block_until_ready(fn())  # warm (compile + first dispatch)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            jax.block_until_ready(fn())
+            best = min(best, _time.perf_counter() - t0)
+        return best
+
     out = {}
+
     tbl = jnp.ones((157_474, 172), jnp.bfloat16)
-    idx = (jnp.arange(44_000, dtype=jnp.int32) * 2_654_435 % 157_474)
+    idx = ((jnp.arange(44_000) * (2_654_435 % 157_474)) % 157_474).astype(jnp.int32)
 
     def g_body(c, _):
         rows = tbl[(idx + c) % 157_474]
         return c + 1, rows.sum()
 
-    g = jax.jit(lambda: lax.scan(g_body, jnp.int32(0), None, length=100)[1])
-    jax.block_until_ready(g())
-    t0 = _time.perf_counter()
-    jax.block_until_ready(g())
-    out["gather_ns_row"] = round((_time.perf_counter() - t0) / (100 * 44_000) * 1e9, 2)
+    def g(length):
+        return jax.jit(
+            lambda: lax.scan(g_body, jnp.int32(0), None, length=length)[1])
+
+    t_lo, t_hi = timed(g(100)), timed(g(500))
+    out["gather_ns_row"] = round((t_hi - t_lo) / (400 * 44_000) * 1e9, 2)
+    # Intercept of the timing line = fixed per-dispatch overhead.
+    out["dispatch_ms"] = round((t_lo - (t_hi - t_lo) / 4) * 1e3, 1)
 
     a = jnp.full((2048, 2048), 0.5, jnp.bfloat16)
 
@@ -265,11 +302,21 @@ def machine_calibration() -> dict:
         y = jnp.matmul(x, a, preferred_element_type=jnp.float32)
         return (y * (1.0 / 1024.0)).astype(jnp.bfloat16), None
 
-    m = jax.jit(lambda: lax.scan(m_body, a, None, length=50)[0])
-    jax.block_until_ready(m())
-    t0 = _time.perf_counter()
-    jax.block_until_ready(m())
-    out["matmul_tflops"] = round(50 * 2 * 2048**3 / (_time.perf_counter() - t0) / 1e12, 1)
+    def m(length):
+        return jax.jit(lambda: lax.scan(m_body, a, None, length=length)[0])
+
+    t_lo, t_hi = timed(m(50)), timed(m(550))
+    out["matmul_tflops"] = round(500 * 2 * 2048**3 / (t_hi - t_lo) / 1e12, 1)
+
+    ok = (out["gather_ns_row"] <= SESSION_GATHER_NS_ROW_MAX
+          and out["matmul_tflops"] >= SESSION_MATMUL_TFLOPS_MIN)
+    out["session"] = "ok" if ok else "degraded"
+    if not ok:
+        import sys as _sys
+        print(f"WARNING: degraded TPU session (calibration {out}); headline "
+              "numbers from this run are not publishable cross-session — "
+              "re-run in a fresh process for a new allocation",
+              file=_sys.stderr)
     return out
 
 
@@ -361,6 +408,49 @@ def run_fused_eval(args, dg, stream, num_edges, pipe, carry) -> dict:
     }
 
 
+def run_tgat_eval(args, dg, stream, num_edges, pipe, carry) -> dict:
+    """Scanned TGAT eval epoch: every edge scored against Q=20 synthetic
+    candidates via TGATPipeline.eval_step (same protocol as run_fused_eval;
+    reference loop /root/reference/examples/linkproppred/tgat.py:95-133)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    Q = 20
+    B = args.bsize
+    nb = stream.num_batches
+    cands = jax.random.randint(
+        jax.random.PRNGKey(1), (nb * B, Q),
+        int(dg.edge_dst.min()), int(dg.edge_dst.max()) + 1, dtype=jnp.int32,
+    )
+
+    def eval_body(c):
+        def body(c, i):
+            rows = lax.dynamic_slice(cands, (i * B, 0), (B, Q))
+            return pipe.eval_step(c, stream.batch_at(i), rows)
+
+        return lax.scan(body, c, jnp.arange(nb), unroll=args.eval_unroll)
+
+    eval_jit = jax.jit(eval_body, donate_argnums=())
+    carry2, (s, cc) = eval_jit(carry)  # compile + warm
+    jax.block_until_ready(s)
+    times = []
+    for _ in range(max(args.epochs, 1)):
+        t0 = _time.perf_counter()
+        carry2, (s, cc) = eval_jit(carry2)
+        jax.block_until_ready(s)
+        times.append(_time.perf_counter() - t0)
+    return {
+        "eval_edges_per_sec": round(num_edges / min(times), 1),
+        "eval_candidates_per_edge": Q,
+        "eval_execution": "fused_pipeline",
+        "eval_mrr_synthetic": round(
+            float(jnp.sum(s) / jnp.maximum(jnp.sum(cc), 1)), 4),
+    }
+
+
 def run_dygformer_bench(args, dg, stream, num_nodes, num_edges, edge_dim) -> None:
     """DyGFormer through the scanned hook path (reference example hyperparams:
     20 recency neighbors, seq len 32, channel dim 50, output 172 —
@@ -381,13 +471,23 @@ def run_dygformer_bench(args, dg, stream, num_nodes, num_edges, edge_dim) -> Non
     from tgm_tpu.util.precision import resolve_bf16
 
     embed_dim = 172
-    hm = HookManager(keys=["train"])
+    keys = ["train", "val"] if args.with_eval else ["train"]
+    hm = HookManager(keys=keys)
     hm.register(
         "train",
         RandomNegativeEdgeSamplerHook(
             low=int(dg.edge_dst.min()), high=int(dg.edge_dst.max())
         ),
     )
+    if args.with_eval:
+        from tgm_tpu.hooks import TGBNegativeEdgeSamplerHook
+
+        Q = 20
+        cands = np.random.default_rng(1).integers(
+            int(dg.edge_dst.min()), int(dg.edge_dst.max()) + 1,
+            (num_edges, Q),
+        ).astype(np.int32)
+        hm.register("val", TGBNegativeEdgeSamplerHook(candidates=cands))
     hm.register_shared(
         RecencyNeighborHook(
             num_nodes, [20], ["edge_src", "edge_dst", "neg"],
@@ -501,6 +601,233 @@ def run_dygformer_bench(args, dg, stream, num_nodes, num_edges, edge_dim) -> Non
     }
     # No vs_reference_cpu field: the measured CPU baseline is the reference
     # TGN loop — a different model than DyGFormer.
+
+    if args.with_eval:
+        # Scanned candidate-list eval epoch through the hook path, mirroring
+        # examples/linkproppred/dygformer.py eval_core (B*Q joint-sequence
+        # pair encodings per batch; candidates' neighbor rows located in the
+        # hook's unique-candidate seed block).
+        from tgm_tpu.constants import PADDED_NODE_ID
+        from tgm_tpu.eval.metrics import mrr_sum_count
+        from tgm_tpu.hooks import candidate_rows, seed_lookup
+
+        def eval_core(carry, batch):
+            params, rng = carry
+            B = batch.edge_src.shape[0]
+            Qb = batch.neg_batch_list.shape[1]
+            nbr = batch.nbr_nids[0]
+            nt = batch.nbr_edge_time[0]
+            nx = batch.nbr_edge_x[0]
+            zs, zd = encode_pair(
+                params, batch, batch.edge_src, batch.edge_dst,
+                jnp.concatenate([nbr[:B], nbr[B:2 * B]]),
+                jnp.concatenate([nt[:B], nt[B:2 * B]]),
+                jnp.concatenate([nx[:B], nx[B:2 * B]]),
+            )
+            pos = decoder.apply(params["dec"], zs, zd)
+            negs = batch.neg_batch_list.reshape(-1)
+            src_rep = jnp.repeat(batch.edge_src, Qb)
+            t_rep = jnp.repeat(batch.edge_time, Qb)
+            lut = seed_lookup(batch.seed_nids[0], num_nodes)
+            cand_r, found = candidate_rows(lut, negs, nbr.shape[0])
+            zs2, zn = encoder.apply(
+                params["enc"], node_x, src_rep, negs, t_rep,
+                jnp.concatenate([jnp.repeat(nbr[:B], Qb, axis=0), nbr[cand_r]]),
+                jnp.concatenate([jnp.repeat(nt[:B], Qb, axis=0), nt[cand_r]]),
+                jnp.concatenate([jnp.repeat(nx[:B], Qb, axis=0), nx[cand_r]]),
+            )
+            neg_sc = decoder.apply(params["dec"], zs2, zn).reshape(B, Qb)
+            s, c = mrr_sum_count(
+                pos, neg_sc,
+                neg_valid=(batch.neg_batch_list != PADDED_NODE_ID)
+                & found.reshape(B, Qb),
+                edge_valid=batch.edge_valid,
+            )
+            return (params, rng), (s, c)
+
+        eval_epoch, ehstates = scanned_hook_epoch(
+            stream, hm, "val", dg, eval_core, compiler_options=copts)
+        ecarry = (carry[0], carry[2])
+        ecarry, ehstates, (s, cc) = eval_epoch(ecarry, ehstates)  # warm
+        jax.block_until_ready(s)
+        etimes = []
+        for _ in range(max(args.epochs, 1)):
+            t0 = _time.perf_counter()
+            ecarry, ehstates, (s, cc) = eval_epoch(ecarry, ehstates)
+            jax.block_until_ready(s)
+            etimes.append(_time.perf_counter() - t0)
+        out["eval_edges_per_sec"] = round(num_edges / min(etimes), 1)
+        out["eval_candidates_per_edge"] = 20
+        out["eval_execution"] = "scanned_hook_api"
+        out["eval_mrr_synthetic"] = round(
+            float(np.sum(np.asarray(s)))
+            / max(float(np.sum(np.asarray(cc))), 1.0), 4)
+    if getattr(args, "machine", None):
+        out["machine"] = args.machine
+    print(json.dumps(out))
+
+
+def run_nodeprop_bench(args) -> None:
+    """TGN node-property-prediction throughput (r4 verdict item 8): the
+    scanned nodeprop pipeline exactly as examples/nodeproppred/tgn.py builds
+    it (recency subgraph attention at label time over a maintained TGN
+    memory, NodePredictor head, NDCG@10 eval — reference loop
+    /root/reference/examples/nodeproppred/tgn.py:106-112), on a wiki-shaped
+    synthetic stream with tgbn-style label events every ~20th edge.
+
+    Reports events/s (edge + node-label events — the unit the reference's
+    perf CI uses) plus labels/s for the task-specific read."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from examples._datasets import load_dataset
+    from tgm_tpu import DGDataLoader, DGraph
+    from tgm_tpu.constants import PADDED_NODE_ID
+    from tgm_tpu.eval.metrics import ndcg_at_k
+    from tgm_tpu.hooks import (
+        DeduplicationHook,
+        HookManager,
+        RecencyNeighborHook,
+        map_to_local,
+    )
+    from tgm_tpu.nn import NodePredictor
+    from tgm_tpu.nn.encoder.tgn import (
+        GraphAttentionEmbedding,
+        TGNMemory,
+        tgn_store_messages,
+    )
+    from tgm_tpu.train import DeviceEventStream, scanned_hook_epoch
+
+    if args.smoke:
+        name, classes = "synthetic-500-8000", 10
+    else:
+        name, classes = f"synthetic-{WIKI_NODES}-{WIKI_EDGES}", 10
+    data, _, _ = load_dataset(name, node_label_classes=classes)
+    num_nodes = data.num_nodes
+    num_classes = data.node_y.shape[1]
+    dg = DGraph(data)
+    edge_dim = dg.edge_x_dim or 0
+    mem_dim, embed_dim, time_dim, K = 64, 64, 32, 10
+
+    hm = HookManager(keys=["all"])
+    hm.register_shared(RecencyNeighborHook(
+        num_nodes, [K], ["node_y_nids"], ["node_y_time"], edge_dim=edge_dim))
+    hm.register_shared(DeduplicationHook(num_nodes, seed_nodes_keys=["nbr_nids"]))
+
+    memory = TGNMemory(num_nodes=num_nodes, raw_msg_dim=edge_dim,
+                       memory_dim=mem_dim, time_dim=time_dim)
+    encoder = GraphAttentionEmbedding(
+        in_channels=mem_dim, out_channels=embed_dim, msg_dim=edge_dim,
+        time_dim=time_dim)
+    decoder = NodePredictor(in_dim=embed_dim, out_dim=num_classes)
+    opt = optax.adam(1e-4)
+
+    mem_state = memory.init_state()
+    key = jax.random.PRNGKey(0)
+    key, k1, k2, k3 = jax.random.split(key, 4)
+    e4 = jnp.zeros(4, jnp.int32)
+    params = {
+        "mem": memory.init(k1, mem_state, e4),
+        "enc": encoder.init(
+            k2, jnp.zeros((8, mem_dim)), jnp.zeros(8, jnp.int32), e4, e4, e4,
+            jnp.zeros((4, edge_dim)), jnp.ones(4, bool)),
+        "dec": decoder.init(k3, jnp.zeros((1, embed_dim))),
+    }
+    opt_state = opt.init(params)
+
+    def encode(p, mem_state, batch):
+        z_mem, last_upd = memory.apply(
+            p["mem"], mem_state, batch.unique_nids, method=TGNMemory.stage)
+        g2l = batch.global_to_local
+        seeds = batch.seed_nids[0]
+        nbrs = batch.nbr_nids[0]
+        src_rep = jnp.repeat(seeds, nbrs.shape[1])
+        nbr_flat = nbrs.reshape(-1)
+        e_valid = (nbr_flat != PADDED_NODE_ID) & (src_rep != PADDED_NODE_ID)
+        z = encoder.apply(
+            p["enc"], z_mem, last_upd,
+            map_to_local(g2l, src_rep), map_to_local(g2l, nbr_flat),
+            batch.nbr_edge_time[0].reshape(-1),
+            batch.nbr_edge_x[0].reshape(nbr_flat.shape[0], -1), e_valid)
+        return decoder.apply(p["dec"], z[map_to_local(g2l, batch.node_y_nids)])
+
+    def commit(p, mem_state, batch):
+        nodes = jnp.concatenate([batch.edge_src, batch.edge_dst])
+        nodes = jnp.where(
+            jnp.concatenate([batch.edge_valid, batch.edge_valid]),
+            nodes, num_nodes)
+        mem_state = memory.apply(p["mem"], mem_state, nodes,
+                                 method=TGNMemory.flush)
+        raw = (batch.edge_x if batch.edge_x is not None
+               else jnp.zeros((batch.edge_src.shape[0], 0)))
+        return tgn_store_messages(
+            mem_state, batch.edge_src, batch.edge_dst, batch.edge_time, raw,
+            batch.edge_valid)
+
+    def train_core(carry, batch):
+        params, opt_state, mem_state = carry
+        has = jnp.any(batch.node_y_valid)
+
+        def loss_fn(p):
+            logits = encode(p, mem_state, batch)
+            loss = optax.softmax_cross_entropy(logits, batch.node_y)
+            m = batch.node_y_valid.astype(loss.dtype)
+            return jnp.sum(loss * m) / jnp.maximum(m.sum(), 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        mem_state = commit(params, mem_state, batch)
+        updates, opt_state2 = opt.update(grads, opt_state)
+        params2 = optax.apply_updates(params, updates)
+        keep = lambda new, old: jax.tree_util.tree_map(
+            lambda a, b: jnp.where(has, a, b), new, old)
+        return (keep(params2, params), keep(opt_state2, opt_state),
+                mem_state), (jnp.where(has, loss, 0.0), has)
+
+    def eval_core(carry, batch):
+        params, mem_state = carry
+        has = jnp.any(batch.node_y_valid)
+        logits = encode(params, mem_state, batch)
+        ndcg = ndcg_at_k(logits, batch.node_y, k=10,
+                         row_valid=batch.node_y_valid)
+        mem_state = commit(params, mem_state, batch)
+        return (params, mem_state), (jnp.where(has, ndcg, 0.0), has)
+
+    loader = DGDataLoader(dg, args.bsize, hook_manager=hm)
+    stream = DeviceEventStream(loader)
+    n_events = int(data.time.shape[0])
+    n_labels = int(data.node_y.shape[0])
+
+    def timed_epochs(core, carry0):
+        epoch, hstates = scanned_hook_epoch(stream, hm, "all", dg, core)
+        carry, hstates, (vals, has) = epoch(carry0, hstates)  # compile+warm
+        jax.block_until_ready(vals)
+        times = []
+        for _ in range(max(args.epochs, 1)):
+            t0 = _time.perf_counter()
+            carry, hstates, (vals, has) = epoch(carry, hstates)
+            jax.block_until_ready(vals)
+            times.append(_time.perf_counter() - t0)
+        return min(times), carry, np.asarray(vals), np.asarray(has)
+
+    t_train, carry, _, _ = timed_epochs(
+        train_core, (params, opt_state, mem_state))
+    t_eval, _, vals, has = timed_epochs(eval_core, (carry[0], carry[2]))
+    ndcg = float(vals[has].mean()) if has.any() else 0.0
+    out = {
+        "metric": "tgn_nodeprop_events_per_sec_tgbn_shape",
+        "value": round(n_events / t_train, 1),
+        "unit": "events/s",
+        "execution": "scanned_hook_api",
+        "labels_per_sec": round(n_labels / t_train, 1),
+        "eval_events_per_sec": round(n_events / t_eval, 1),
+        "eval_ndcg_at_10_synthetic": round(ndcg, 4),
+        "num_label_events": n_labels,
+    }
+    if getattr(args, "machine", None):
+        out["machine"] = args.machine
     print(json.dumps(out))
 
 
@@ -566,17 +893,19 @@ def main() -> None:
                    "stacked (3B) hook rows measured NEUTRAL (45.7k vs 46.0k)")
     p.add_argument(
         "--eval-proj-table", action=argparse.BooleanOptionalAction,
-        default=False,
+        default=True,
         help="eval epoch gathers from the pre-projected (embed-wide) feature "
         "table instead of the raw msg-wide one (params frozen in eval; one "
-        "extra epoch-level matmul, -42%% gather bytes)",
+        "extra epoch-level matmul, -42%% gather bytes). Default ON: measured "
+        "+2.9%% (89.2k -> 91.8k eval edges/s, r5 same-session A/B)",
     )
     p.add_argument(
         "--eval-mem-bf16", action=argparse.BooleanOptionalAction,
         default=False,
         help="eval epoch gathers neighbor memory rows from a bf16 mirror of "
         "the memory table (bit-identical on the bf16 K/V path; the mirror's "
-        "flushed rows are refreshed per batch)",
+        "flushed rows are refreshed per batch). Default OFF: measured "
+        "neutral (+0.2%%, r5 same-session A/B)",
     )
     p.add_argument(
         "--calibrate", action=argparse.BooleanOptionalAction, default=True,
@@ -600,7 +929,8 @@ def main() -> None:
     )
     p.add_argument(
         "--model", type=str, default="tgn",
-        choices=["tgn", "tgat", "tgn-hooks", "tgn-fused", "dygformer"],
+        choices=["tgn", "tgat", "tgn-hooks", "tgn-fused", "dygformer",
+                 "tgn-nodeprop"],
         help="tgn: the library's default execution model (HookManager DAG "
         "through scanned_hook_epoch; the eval epoch runs the fused "
         "pipeline); tgn-fused: the hand-fused TGNPipeline; "
@@ -627,8 +957,15 @@ def main() -> None:
     # by every bench path so cross-session comparisons stay honest.
     args.machine = machine_calibration() if args.calibrate and not args.smoke else None
 
+    if args.model == "tgn-nodeprop":
+        run_nodeprop_bench(args)
+        return
+
     if args.smoke:
         num_nodes, num_edges, edge_dim = 500, 8_000, 32
+        # CPU CI hook: heavy models (dygformer eval = num_edges*Q pair
+        # encodings) can shrink the smoke stream further.
+        num_edges = int(os.environ.get("TGM_SMOKE_EDGES", num_edges))
     else:
         num_nodes, num_edges, edge_dim = WIKI_NODES, WIKI_EDGES, WIKI_EDGE_DIM
 
@@ -645,6 +982,9 @@ def main() -> None:
         args.dedup_staging or args.unroll != 1 or args.feat_bf16 != "auto"
     )
     if args.eval_only:
+        if args.model not in ("tgn", "tgn-fused"):
+            p.error(f"--eval-only times the fused TGN eval epoch only; "
+                    f"--model {args.model} is not supported with it")
         pipe = TGNPipeline(
             num_nodes=num_nodes, edge_dim=edge_dim, memory_dim=100,
             embed_dim=100, time_dim=100, num_nbrs=10, lr=1e-4,
@@ -759,6 +1099,8 @@ def main() -> None:
 
     if args.with_eval and args.model in ("tgn", "tgn-fused"):
         out.update(run_fused_eval(args, dg, stream, num_edges, pipe, carry))
+    elif args.with_eval and args.model == "tgat":
+        out.update(run_tgat_eval(args, dg, stream, num_edges, pipe, carry))
 
     if getattr(args, "machine", None):
         out["machine"] = args.machine

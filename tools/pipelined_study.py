@@ -94,11 +94,20 @@ def main():
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--mesh", action="store_true",
                    help="also run the 8-device CPU-mesh concurrency demo")
+    p.add_argument("--mesh-full", action="store_true",
+                   help="measure the FULL span-handoff schedule (phase A "
+                   "prologue + sharded phase B, end-to-end wall-clock) on "
+                   "n=2/4/8-device virtual CPU meshes vs the one-device "
+                   "chain, next to the analytic model (r4 verdict item 6)")
+    p.add_argument("--out", default="STALENESS_r05.json",
+                   help="artifact filename (repo root)")
     p.add_argument("--bsize", type=int, default=200)
     args = p.parse_args()
 
     import jax
 
+    if args.mesh_full:
+        args.mesh = True
     if args.mesh:
         # The mesh demo needs many devices; force the virtual CPU mesh.
         jax.config.update("jax_platforms", "cpu")
@@ -238,11 +247,92 @@ def main():
         }
         assert mesh_exact
 
-    out_path = Path(__file__).resolve().parents[1] / "STALENESS_r04.json"
+    # 4. FULL schedule, measured end-to-end on n-device meshes (r4 verdict
+    # item 6: "not just phase B"). For each n: phase A runs the sequential
+    # advance prologue on device 0 (n-1 span chains, recording handoff
+    # states), the stacked span axis is device_put onto the n-device mesh,
+    # and phase B scores all spans concurrently — the wall-clock covers ALL
+    # of it, including the resharding transfer. Caveat recorded in the
+    # artifact: this host has few physical cores, so n virtual CPU devices
+    # time-slice and the one-device chain baseline may itself multithread —
+    # measured CPU speedups validate the schedule's OVERLAP (total ~=
+    # phase_a + concurrent phase_b), not the ICI-connected ceiling.
+    if args.mesh_full:
+        import os as _os
+
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        full = {"host_cores": _os.cpu_count()}
+
+        for n_spans in (2, 4, 8):
+            if n_spans > len(jax.devices()):
+                continue
+            mesh = Mesh(np.array(jax.devices()[:n_spans]), ("span",))
+            spans = split_spans(nb, n_spans)
+            span_len = max(e - s for s, e in spans)
+
+            adv_jit = jax.jit(
+                lambda c, lo, hi: jax.lax.scan(
+                    lambda cc, i: (advance_fn(cc, i), 0.0),
+                    c, jnp.arange(lo, hi))[0],
+                static_argnums=(1, 2))
+
+            def run_span(start, length, c0):
+                def body(cc, j):
+                    i = jnp.minimum(start + j, nb - 1)
+
+                    def do(cc):
+                        return score_fn(cc, i)
+
+                    def skip(cc):
+                        _, sh = jax.eval_shape(score_fn, cc, i)
+                        return cc, jax.tree_util.tree_map(
+                            lambda a: jnp.zeros(a.shape, a.dtype), sh)
+
+                    return jax.lax.cond(j < length, do, skip, cc)
+
+                return jax.lax.scan(body, c0, jnp.arange(span_len))[1]
+
+            phase_b = jax.jit(jax.vmap(run_span))
+            sharding = NamedSharding(mesh, P("span"))
+
+            def schedule():
+                starts = [carry]
+                c = carry
+                for s, e in spans[:-1]:
+                    c = adv_jit(c, s, e)
+                    starts.append(c)
+                ta = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *starts)
+                ta = jax.device_put(ta, sharding)
+                s0 = jax.device_put(
+                    jnp.asarray([s for s, _ in spans]), sharding)
+                lens = jax.device_put(
+                    jnp.asarray([e - s for s, e in spans]), sharding)
+                return phase_b(s0, lens, ta)
+
+            t_total, outs_n = timed(schedule)
+            vm = (np.arange(span_len)[None, :]
+                  < np.asarray([e - s for s, e in spans])[:, None])
+            exact_n = np.array_equal(np.asarray(outs_n[0])[vm],
+                                     np.asarray(s_chain))
+            assert exact_n, f"mesh-full n={n_spans} diverged from chain"
+            model_n = model.get(f"n{n_spans}", {})
+            full[f"n{n_spans}"] = {
+                "devices": n_spans,
+                "t_total_measured_s": round(t_total, 4),
+                "speedup_measured_vs_chain": round(t_full / t_total, 3),
+                "t_model_s": model_n.get("t_model_s"),
+                "speedup_model_vs_chain": model_n.get("speedup_vs_chain"),
+                "exact_vs_chain": bool(exact_n),
+            }
+        results["mesh_full_schedule"] = full
+
+    out_path = Path(__file__).resolve().parents[1] / args.out
     merged = {}
     if out_path.exists():
         merged = json.loads(out_path.read_text())
-    section = "cpu_mesh_demo" if args.mesh else f"{results['platform']}_wiki"
+    section = ("cpu_mesh_full" if args.mesh_full else
+               "cpu_mesh_demo" if args.mesh else f"{results['platform']}_wiki")
     merged[section] = results
     out_path.write_text(json.dumps(merged, indent=1))
     print(json.dumps(results))

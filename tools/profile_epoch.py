@@ -243,24 +243,34 @@ def run_and_trace(args) -> str:
             jax.block_until_ready(losses)
         return args.trace_dir
 
-    if args.model in ("tncn", "tpnet", "ctan", "graphmixer"):
+    zoo = ("tncn", "tpnet", "ctan", "graphmixer")
+    if args.model in zoo or args.model in tuple(f"{m}-eval" for m in zoo):
         # Zoo models: run bench_zoo's builder with trace capture enabled
-        # (one post-warmup epoch traced via TGM_PROFILE_TRACE_DIR).
+        # (one post-warmup epoch traced via TGM_PROFILE_TRACE_DIR; the
+        # "-eval" variants trace the scanned candidate-list EVAL epoch —
+        # TGM_PROFILE_PHASE routes the capture inside bench_zoo).
         import bench_zoo
 
+        model, _, phase = args.model.partition("-")
         os.environ["TGM_PROFILE_TRACE_DIR"] = args.trace_dir
+        os.environ["TGM_PROFILE_PHASE"] = phase or "train"
         zargs = argparse.Namespace(
-            model=args.model, smoke=args.smoke, bsize=args.bsize, epochs=1,
-            snapshot_ticks=86_400,
+            model=model, smoke=args.smoke, bsize=args.bsize, epochs=1,
+            snapshot_ticks=86_400, with_eval=phase == "eval",
         )
         fn = {
             "tpnet": bench_zoo.bench_tpnet,
             "ctan": bench_zoo.bench_ctan,
             "tncn": bench_zoo.bench_tncn,
             "graphmixer": bench_zoo.bench_graphmixer,
-        }[args.model]
+        }[model]
         eps = fn(zargs, dg, stream, nn_, ne, ed)
-        print(f"epoch (untraced): {eps:.0f} edges/s")
+        if isinstance(eps, tuple):
+            eps, eval_eps = eps
+            print(f"epoch (untraced): {eps:.0f} edges/s; "
+                  f"eval {eval_eps:.0f} edges/s")
+        else:
+            print(f"epoch (untraced): {eps:.0f} edges/s")
         return args.trace_dir
 
     if args.model == "tgn-eval":
@@ -352,7 +362,9 @@ def main() -> None:
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--bsize", type=int, default=200)
     p.add_argument("--model", type=str, default="tgn", choices=["tgn", "tgn-hooks", "tgn-eval", "tgat", "dygformer",
-                            "tncn", "tpnet", "ctan", "graphmixer"])
+                            "tncn", "tpnet", "ctan", "graphmixer",
+                            "tncn-eval", "tpnet-eval", "ctan-eval",
+                            "graphmixer-eval"])
     p.add_argument("--trace-dir", type=str, default="/tmp/tgm_trace")
     p.add_argument("--parse-only", action="store_true",
                    help="only parse an existing trace dir")
