@@ -212,6 +212,7 @@ def run_hook_bench(args, dg, stream, num_nodes, num_edges, edge_dim,
             edge_x_full=stream.edge_x,
             feat_bf16={"auto": None, "on": True, "off": False}[args.feat_bf16],
             attn_bf16={"auto": None, "on": True, "off": False}[args.attn_bf16],
+            attn_score_layout=args.attn_layout,
         )
         out.update(run_fused_eval(args, dg, stream, num_edges, pipe,
                                   pipe.init_carry(jax.random.PRNGKey(0))))
@@ -908,6 +909,14 @@ def main() -> None:
         "neutral (+0.2%%, r5 same-session A/B)",
     )
     p.add_argument(
+        "--attn-layout", choices=["kmajor", "lanes"], default="kmajor",
+        help="TGN rowwise attention score-tensor layout (fused pipeline "
+        "paths): kmajor = logits (S, K, H); lanes = logits (H, K, S) — "
+        "seeds on the 128-lane axis for the mask/softmax chain (the r5 "
+        "eval profile shows the (4400,10,2) score fusions at ~27%% of the "
+        "eval epoch)",
+    )
+    p.add_argument(
         "--calibrate", action=argparse.BooleanOptionalAction, default=True,
         help="record a raw-speed fingerprint (gather ns/row, matmul TFLOP/s) "
         "of the ambient device session in the JSON line — the remote-TPU "
@@ -992,6 +1001,7 @@ def main() -> None:
             edge_x_full=stream.edge_x,
             feat_bf16=feat_bf16,
             attn_bf16={"auto": None, "on": True, "off": False}[args.attn_bf16],
+            attn_score_layout=args.attn_layout,
         )
         out = {"metric": "tgn_eval_only", "unit": "edges/s",
                "eval_proj_table": args.eval_proj_table,
@@ -1053,6 +1063,7 @@ def main() -> None:
             packed_recency=args.packed_recency,
             feat_bf16=feat_bf16,
             attn_bf16={"auto": None, "on": True, "off": False}[args.attn_bf16],
+            attn_score_layout=args.attn_layout,
         )
     carry = pipe.init_carry(jax.random.PRNGKey(0))
     # Tables-as-arguments is required for the aug-table TGAT program (657MB

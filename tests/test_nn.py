@@ -263,3 +263,32 @@ def test_rowwise_attention_kv_bf16_close_to_f32():
     outbf = mbf.apply(params, *args)
     assert outbf.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(outbf), np.asarray(out32), atol=5e-2)
+
+
+def test_rowwise_attention_score_layout_lanes_matches_kmajor():
+    """score_layout='lanes' (logits (H, K, S), seeds on lanes) computes the
+    same attention as the default (S, K, H) layout — identical math modulo
+    fp reduction order. Includes masked (padded-neighbor) rows."""
+    from tgm_tpu.nn.encoder.tgn import GraphAttentionEmbeddingRowwise
+
+    S, K, M, D = 7, 4, 100, 172
+    kw = dict(in_channels=M, out_channels=M, msg_dim=D, time_dim=M, dropout=0.0)
+    r = jax.random.split(jax.random.PRNGKey(11), 5)
+    valid = jnp.asarray(np.random.default_rng(3).random((S, K)) > 0.3)
+    valid = valid.at[0].set(False)  # one fully-padded seed row
+    args = (
+        jax.random.normal(r[0], (S, M)),
+        jax.random.normal(r[1], (S, K, M)),
+        jnp.arange(S, dtype=jnp.int32) + 10,
+        jnp.ones((S, K), jnp.int32),
+        jax.random.normal(r[2], (S, K, D)),
+        valid,
+    )
+    base = GraphAttentionEmbeddingRowwise(**kw)
+    lanes = GraphAttentionEmbeddingRowwise(**kw, score_layout="lanes")
+    params = base.init(KEY, *args)
+    out_base = base.apply(params, *args)
+    out_lanes = lanes.apply(params, *args)
+    np.testing.assert_allclose(
+        np.asarray(out_lanes), np.asarray(out_base), atol=1e-5, rtol=1e-5
+    )

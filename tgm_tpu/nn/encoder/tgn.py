@@ -747,6 +747,14 @@ class GraphAttentionEmbeddingRowwise(nn.Module):
     # MXU does to f32 operands anyway; keeps the gathered neighbor tensors in
     # bf16 end-to-end (see modules/attention.py:TemporalAttention.kv_bf16).
     kv_bf16: bool = False
+    # Score-tensor layout. "kmajor" (default): logits (S, K, H) — K/H are the
+    # tiled dims, 20/1024 tile-slot utilization at H=2, K=10 (the r5 TPU eval
+    # profile showed the softmax/mask fusions on these shapes at ~27% of the
+    # eval epoch). "lanes": logits (H, K, S) — seeds on the 128-lane axis
+    # (same philosophy as the lane-major recency select kernel), softmax
+    # reduces over the sublane-tiled K axis. Same math modulo fp reduction
+    # order.
+    score_layout: str = "kmajor"
 
     def setup(self) -> None:
         assert self.out_channels % self.n_heads == 0
@@ -818,6 +826,24 @@ class GraphAttentionEmbeddingRowwise(nn.Module):
 
         # f32 accumulation either way; bf16 operands when kv_bf16 (identical
         # to the MXU's default handling of f32 operands on TPU).
+        if self.score_layout == "lanes":
+            # Seeds-on-lanes score chain: every (mask / softmax / rescale)
+            # elementwise op runs on (H, K, S) tensors whose minor axis is
+            # the big S, not the tiny H.
+            logits = jnp.einsum(
+                "shc,skhc->hks", q.astype(k.dtype), k,
+                preferred_element_type=jnp.float32,
+            ) * (C**-0.5)
+            mask_t = nbr_valid.T[None]  # (1, K, S)
+            logits = jnp.where(mask_t, logits, -1e10)
+            alpha = jax.nn.softmax(logits, axis=1)
+            alpha = jnp.where(mask_t, alpha, 0.0)
+            alpha = self.drop(alpha, deterministic=deterministic)
+            out = jnp.einsum(
+                "hks,skhc->shc", alpha.astype(v.dtype), v,
+                preferred_element_type=jnp.float32,
+            ).reshape(S, self.out_channels)
+            return out + self.lin_skip(x_seed)
         logits = jnp.einsum(
             "shc,skhc->skh", q.astype(k.dtype), k,
             preferred_element_type=jnp.float32,

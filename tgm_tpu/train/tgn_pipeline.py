@@ -97,6 +97,7 @@ class TGNPipeline(StaticTablesMixin):
         packed_recency: bool = False,
         feat_bf16: Optional[bool] = None,
         attn_bf16: Optional[bool] = None,
+        attn_score_layout: str = "kmajor",
     ) -> None:
         self.num_nodes = num_nodes
         self.state_row_multiple = state_row_multiple
@@ -164,7 +165,9 @@ class TGNPipeline(StaticTablesMixin):
         # so auto resolves to ON for TPU (CPU stays f32 for torch parity).
         self.attn_bf16 = attn_bf16
         enc_cls = GraphAttentionEmbeddingRowwise if rowwise else GraphAttentionEmbedding
-        enc_kwargs = {"kv_bf16": self.attn_bf16} if rowwise else {}
+        enc_kwargs = ({"kv_bf16": self.attn_bf16,
+                       "score_layout": attn_score_layout}
+                      if rowwise else {})
         self.encoder = enc_cls(
             in_channels=memory_dim,
             out_channels=embed_dim,
