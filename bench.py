@@ -137,7 +137,7 @@ def run_hook_bench(args, dg, stream, num_nodes, num_edges, edge_dim,
     attn_bf16 = {"auto": False, "on": True, "off": False}[args.attn_bf16]
     encoder = GraphAttentionEmbeddingRowwise(
         in_channels=dims, out_channels=dims, msg_dim=edge_dim, time_dim=dims,
-        dropout=0.0, kv_bf16=attn_bf16,
+        dropout=0.0, kv_bf16=attn_bf16, score_layout=args.attn_layout,
     )
     decoder = LinkPredictor(node_dim=dims, hidden_dim=dims)
     opt = optax.adam(1e-4)
@@ -1046,6 +1046,7 @@ def main() -> None:
             edge_ends_full=(dg.edge_src, dg.edge_dst),
             feat_bf16=feat_bf16,
             attn_bf16={"auto": None, "on": True, "off": False}[args.attn_bf16],
+            attn_score_layout=args.attn_layout,
         )
     else:
         pipe = TGNPipeline(

@@ -481,7 +481,10 @@ def bench_tncn(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
     from tgm_tpu.constants import PADDED_NODE_ID
     from tgm_tpu.hooks import DeduplicationHook, RecencyNeighborHook, map_to_local
     from tgm_tpu.nn import NCNPredictor
-    from tgm_tpu.nn.decoder.ncnpred import ncn_adjacency_rows
+    from tgm_tpu.nn.decoder.ncnpred import (
+        ncn_adjacency_rows,
+        ncn_adjacency_rows_blocked,
+    )
     from tgm_tpu.nn.encoder.tgn import (
         GraphAttentionEmbedding,
         TGNMemory,
@@ -654,7 +657,13 @@ def bench_tncn(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
         nbr_ok = (batch.nbr_nids[0] != PADDED_NODE_ID) & (
             batch.seed_nids[0][:, None] != PADDED_NODE_ID
         )
-        rows = ncn_adjacency_rows(seeds_l, nbrs_l, nbr_ok, z.shape[0])
+        # Eval seed layout is [src(B) ‖ dst(B) ‖ UNIQUE candidates]: the
+        # blocked builder turns the two S²·U consolidation matmuls (~29% of
+        # the eval epoch at S=4,400, r5 profile) into S·2B·U matmuls plus
+        # two gathers — bit-exact (unique-candidate suffix).
+        rows = ncn_adjacency_rows_blocked(
+            seeds_l, nbrs_l, nbr_ok, z.shape[0], unique_from=2 * B
+        )
         loc_src = loc(batch.edge_src)
         pos = decoder.apply(
             params["dec"], z, rows[:B], rows[B : 2 * B], loc_src,

@@ -389,6 +389,32 @@ def test_ncn_rows_duplicate_seed_consolidation():
     assert np.asarray(rows)[0, 2] == 2.0  # node 2 via row 0 + seed-2's nbr 5
 
 
+def test_ncn_rows_blocked_matches_plain():
+    """ncn_adjacency_rows_blocked == ncn_adjacency_rows bit-exactly when the
+    [unique_from:] suffix is pairwise-unique — the eval seed layout
+    [src(B) ‖ dst(B) ‖ unique candidates], incl. head/tail cross duplicates
+    and PAD rows in both blocks."""
+    from tgm_tpu.nn.decoder.ncnpred import (
+        ncn_adjacency_rows,
+        ncn_adjacency_rows_blocked,
+    )
+
+    rng = np.random.default_rng(7)
+    U, K, B = 20, 3, 4
+    # Head: src+dst with duplicates (incl. one PAD). Tail: unique candidate
+    # set, overlapping the head, PAD-padded.
+    head = np.array([5, 9, 5, -1, 9, 2, 11, 3], np.int32)  # 2B rows
+    tail = np.array([1, 2, 5, 7, 12, 15, -1, -1], np.int32)  # unique + PADs
+    seeds = jnp.asarray(np.concatenate([head, tail]))
+    S = seeds.shape[0]
+    nbrs = jnp.asarray(rng.integers(0, U, (S, K)).astype(np.int32))
+    valid = jnp.asarray(rng.random((S, K)) < 0.8)
+    ref = ncn_adjacency_rows(seeds, nbrs, valid, U)
+    got = ncn_adjacency_rows_blocked(seeds, nbrs, valid, U,
+                                     unique_from=len(head))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 @pytest.mark.parametrize("k", [2, 4])
 def test_ncn_score_from_rows_matches_call(k):
     """score_from_rows(precomputed rows) == __call__(dense adjacency)."""

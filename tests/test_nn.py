@@ -50,6 +50,33 @@ def test_temporal_attention_shapes():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_temporal_attention_score_layout_lanes_matches_kmajor():
+    """TemporalAttention(score_layout='lanes'): logits (H, K, B) with seeds
+    on lanes — same attention as the default (B, H, K) layout modulo fp
+    reduction order, incl. masked and fully-padded rows."""
+    B, K = 6, 4
+    kw = dict(n_heads=2, node_dim=10, edge_dim=3, time_dim=5, dropout=0.0)
+    r = jax.random.split(jax.random.PRNGKey(5), 6)
+    valid = jnp.asarray(np.random.default_rng(9).random((B, K)) > 0.3)
+    valid = valid.at[0].set(False)
+    args = (
+        jax.random.normal(r[0], (B, 10)),
+        jax.random.normal(r[1], (B, 5)),
+        jax.random.normal(r[2], (B, K, 3)),
+        jax.random.normal(r[3], (B, K, 10)),
+        jax.random.normal(r[4], (B, K, 5)),
+        valid,
+    )
+    base = TemporalAttention(**kw)
+    lanes = TemporalAttention(**kw, score_layout="lanes")
+    params = base.init(KEY, *args)
+    np.testing.assert_allclose(
+        np.asarray(lanes.apply(params, *args)),
+        np.asarray(base.apply(params, *args)),
+        atol=1e-5, rtol=1e-5,
+    )
+
+
 def test_temporal_attention_empty_neighborhood_no_nan():
     B, K = 2, 3
     m = TemporalAttention(n_heads=2, node_dim=4, edge_dim=2, time_dim=4, dropout=0.0)

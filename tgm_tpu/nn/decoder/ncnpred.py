@@ -98,6 +98,95 @@ def ncn_adjacency_rows(
     return jnp.where(valid_seed[:, None], rows, 0.0)
 
 
+def ncn_adjacency_rows_blocked(
+    seeds_local: jnp.ndarray,  # (S,)
+    nbrs_local: jnp.ndarray,  # (S, K)
+    nbr_valid: jnp.ndarray,  # (S, K)
+    num_local: int,
+    unique_from: int,
+) -> jnp.ndarray:
+    """``ncn_adjacency_rows`` exploiting a known-unique seed suffix.
+
+    The r5 tncn-eval profile shows the plain builder's two S²·U matmuls at
+    ~29% of the eval epoch: at eval the seed list is
+    ``[src(B) ‖ dst(B) ‖ unique-candidates(B·Q)]`` — S = 4,400 — and both
+    ``s_eq @ part1`` and ``gamma @ onehot_seed`` are (4400, 4400) × 9228
+    products (357 GFLOP each per batch). But the candidate block is UNIQUE
+    by construction (the TGB hook's ``neg`` is the sorted unique candidate
+    set; PAD duplicates only collide with PAD rows, which are zeroed by the
+    valid-seed mask), so with ``F = unique_from`` (the first candidate row):
+
+    * ``s_eq`` block-decomposes with the candidate-candidate block = I:
+      ``rows_cand = part1_cand + s_eq[F:, :F] @ part1[:F]`` — the matmul
+      shrinks from S×S×U to S×F×U (24× at eval shapes).
+    * ``gamma @ onehot_seed`` restricted to candidate COLUMNS is a column
+      permutation, not a matmul: candidate r' is the unique seed row of
+      node ``seed_{r'}``, so column ``u`` of the product is just
+      ``gamma[:, candpos(u)]`` — one (S, U) gather via the last-occurrence
+      position table; only the first F columns still need their
+      (S, F) @ (F, U) matmul.
+
+    Bit-exact equal to ``ncn_adjacency_rows`` whenever rows [unique_from:]
+    are pairwise-unique among themselves
+    (tests/test_decoders.py::test_ncn_rows_blocked_matches_plain).
+    """
+    S, K = nbrs_local.shape
+    F = unique_from
+    w = nbr_valid.astype(jnp.bfloat16)
+    iota = jnp.arange(num_local, dtype=nbrs_local.dtype)
+
+    part1 = jnp.sum(
+        (nbrs_local[:, :, None] == iota[None, None, :]) * w[:, :, None],
+        axis=1,
+    )  # (S, U) — exact small-int counts in f32 (bf16 operands, f32 accum)
+
+    # --- seed-side consolidation (s_eq @ part1), blocked ----------------- #
+    s_eq_head = (seeds_local[:, None] == seeds_local[None, :F]).astype(
+        jnp.bfloat16
+    )  # (S, F): every row vs the possibly-duplicated head block
+    rows = jnp.matmul(s_eq_head, part1[:F].astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+    # Tail block contributes part1[r'] to row r iff seed_r == seed_{r'},
+    # r' >= F. For r' >= F the seeds are unique, so each VALID node in the
+    # tail occurs exactly once there: row r picks up part1[tailpos(seed_r)]
+    # (zero if seed_r is not a tail seed). The diagonal r==r' case makes
+    # rows_cand include its own part1. One gather instead of S×(S-F)×U.
+    tail_pos = jnp.full((num_local + 1,), S, jnp.int32)
+    tail_ids = jnp.where(
+        (seeds_local[F:] >= 0) & (seeds_local[F:] < num_local),
+        seeds_local[F:], num_local,
+    )
+    tail_pos = tail_pos.at[tail_ids].set(
+        jnp.arange(F, S, dtype=jnp.int32), mode="drop"
+    )
+    tail_pos = tail_pos.at[num_local].set(S)
+    seed_rows_safe = jnp.where(
+        (seeds_local >= 0) & (seeds_local < num_local), seeds_local, num_local
+    )
+    tp = tail_pos[seed_rows_safe]  # (S,) position in tail, or S
+    part1_pad = jnp.concatenate([part1, jnp.zeros((1, num_local))], axis=0)
+    rows = rows + part1_pad[jnp.minimum(tp, S)]
+
+    # --- neighbor-side mass (gamma @ onehot_seed), blocked --------------- #
+    gamma = jnp.sum(
+        (nbrs_local[None, :, :] == seeds_local[:, None, None]) * w[None, :, :],
+        axis=2,
+    )  # (S, S) — all columns are consumed (head by matmul, tail by gather)
+    # Head columns: matmul against the head one-hots.
+    onehot_head = (seeds_local[:F, None] == iota[None, :]).astype(jnp.bfloat16)
+    rows = rows + jnp.matmul(gamma[:, :F].astype(jnp.bfloat16), onehot_head,
+                             preferred_element_type=jnp.float32)
+    # Tail columns: column u receives gamma[:, tailpos(u)] (unique seeds).
+    gamma_pad = jnp.concatenate(
+        [gamma, jnp.zeros((S, 1), gamma.dtype)], axis=1
+    )
+    col_src = jnp.minimum(tail_pos[jnp.minimum(iota, num_local)], S)  # (U,)
+    rows = rows + gamma_pad[:, col_src]
+
+    valid_seed = (seeds_local >= 0) & (seeds_local < num_local)
+    return jnp.where(valid_seed[:, None], rows, 0.0)
+
+
 def _last_occurrence_mask(vals: jnp.ndarray, num_nodes: int) -> jnp.ndarray:
     """True where row r is the LAST occurrence of vals[r] within vals."""
     B = vals.shape[0]

@@ -44,6 +44,9 @@ class TGAT(nn.Module):
     dropout: float = 0.1
     # bf16 K/V attention path (see modules/attention.py:TemporalAttention).
     kv_bf16: bool = False
+    # Score-tensor layout (see TemporalAttention.score_layout): "lanes" puts
+    # the seed axis on the 128 VPU lanes for the mask/softmax chain.
+    score_layout: str = "kmajor"
 
     # For HookManager.validate_requirement (EncoderModule protocol).
     requires: Set[str] = frozenset(
@@ -60,6 +63,7 @@ class TGAT(nn.Module):
                 time_dim=self.time_dim,
                 dropout=self.dropout,
                 kv_bf16=self.kv_bf16,
+                score_layout=self.score_layout,
             )
             for i in range(self.num_layers)
         ]

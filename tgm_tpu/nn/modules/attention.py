@@ -31,6 +31,13 @@ class TemporalAttention(nn.Module):
     # sweep of the full edge-feature table plus a 20 MB relayout copy of the
     # gathered hop-2 features. Default off (CPU parity tests compare f32).
     kv_bf16: bool = False
+    # Score-tensor layout: "kmajor" (default) keeps logits (B, H, K) — at
+    # H=2, K=10 the mask/softmax chain runs on tensors whose tiled minor
+    # dims use ~2% of the VPU lanes. "lanes" computes logits (H, K, B) with
+    # the batch/seed axis on the 128-lane axis (measured +57% on the TGN
+    # eval epoch for the analogous rowwise-attention restructure, r5).
+    # Same math modulo fp reduction order.
+    score_layout: str = "kmajor"
 
     def setup(self) -> None:
         if min(self.n_heads, self.node_dim, self.edge_dim, self.time_dim) <= 0:
@@ -98,6 +105,23 @@ class TemporalAttention(nn.Module):
 
         # f32 accumulation either way; bf16 operands when kv_bf16 (identical
         # to the MXU's default handling of f32 operands on TPU).
+        if self.score_layout == "lanes":
+            attn = jnp.einsum(
+                "bhd,bkhd->hkb", q, k, preferred_element_type=jnp.float32
+            ) * (self.head_dim**-0.5)
+            mask_t = valid_nbr_mask.T[None]  # (1, K, B)
+            attn = jnp.where(mask_t, attn, -1e10)
+            attn = nn.softmax(attn, axis=1)
+            attn = self.drop(attn, deterministic=deterministic)
+            out = jnp.einsum(
+                "hkb,bkhd->bhd",
+                attn.astype(Z.dtype),
+                v,
+                preferred_element_type=jnp.float32,
+            ).reshape(B, self.out_dim)
+            out = self.W_O(out)
+            out = self.drop(out, deterministic=deterministic)
+            return self.layer_norm(out + R)
         attn = jnp.einsum(
             "bhd,bkhd->bhk", q, k, preferred_element_type=jnp.float32
         ) * (self.head_dim**-0.5)

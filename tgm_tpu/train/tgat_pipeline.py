@@ -99,6 +99,7 @@ class TGATPipeline(StaticTablesMixin):
         edge_ends_full: Any = None,
         feat_bf16: "bool | None" = None,
         attn_bf16: "bool | None" = None,
+        attn_score_layout: str = "kmajor",
     ) -> None:
         from .tgn_pipeline import default_feat_bf16
 
@@ -148,6 +149,7 @@ class TGATPipeline(StaticTablesMixin):
             n_heads=n_heads,
             dropout=0.0,
             kv_bf16=attn_bf16,
+            score_layout=attn_score_layout,
         )
         self.decoder = LinkPredictor(node_dim=embed_dim, hidden_dim=embed_dim)
         self.opt = optax.adam(lr)

@@ -267,6 +267,8 @@ def run_and_trace(args) -> str:
         eps = fn(zargs, dg, stream, nn_, ne, ed)
         if isinstance(eps, tuple):
             eps, eval_eps = eps
+            if isinstance(eval_eps, tuple):  # (edges/s, mrr)
+                eval_eps = eval_eps[0]
             print(f"epoch (untraced): {eps:.0f} edges/s; "
                   f"eval {eval_eps:.0f} edges/s")
         else:
