@@ -909,12 +909,11 @@ def main() -> None:
         "neutral (+0.2%%, r5 same-session A/B)",
     )
     p.add_argument(
-        "--attn-layout", choices=["kmajor", "lanes"], default="kmajor",
-        help="TGN rowwise attention score-tensor layout (fused pipeline "
-        "paths): kmajor = logits (S, K, H); lanes = logits (H, K, S) — "
-        "seeds on the 128-lane axis for the mask/softmax chain (the r5 "
-        "eval profile shows the (4400,10,2) score fusions at ~27%% of the "
-        "eval epoch)",
+        "--attn-layout", choices=["kmajor", "lanes"], default="lanes",
+        help="TGN rowwise attention score-tensor layout: lanes (default) = "
+        "logits (H, K, S) with seeds on the 128-lane axis for the "
+        "mask/softmax chain — measured same-session +7.3%% train / +56.8%% "
+        "eval over kmajor (r5); kmajor = logits (S, K, H), the r4 layout",
     )
     p.add_argument(
         "--calibrate", action=argparse.BooleanOptionalAction, default=True,

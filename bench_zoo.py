@@ -190,6 +190,7 @@ def bench_tpnet(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
         num_nodes=num_nodes, num_layer=2, time_decay_weight=1e-6,
         beginning_time=float(dg.start_time or 0), use_matrix=False,
         enforce_dim=min(64, num_nodes),
+        pair_layout=getattr(args, "tpnet_rp", "rows"),
     )
     encoder = TPNet(
         node_feat_dim=node_x.shape[1], edge_x_dim=edge_dim,
@@ -1017,6 +1018,12 @@ def main() -> None:
         "--calibrate", action=argparse.BooleanOptionalAction, default=True,
         help="record the session raw-speed fingerprint in every JSON line "
         "(see bench.py machine_calibration)")
+    p.add_argument(
+        "--tpnet-rp", choices=["rows", "lanes", "factored_lanes"],
+        default="rows",
+        help="TPNet random-projection pairwise-feature layout (see "
+        "RandomProjectionModule.pair_layout; the rows einsum chain is ~34%% "
+        "of the tpnet eval epoch, r5 profile)")
     args = p.parse_args()
 
     import os

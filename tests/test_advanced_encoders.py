@@ -189,6 +189,28 @@ def test_rp_module_pairwise_features():
     assert out.shape == (2, rp.out_dim)
 
 
+@pytest.mark.parametrize("layout", ["lanes", "factored_lanes"])
+def test_rp_pair_layout_matches_rows(layout):
+    """pair_layout 'lanes'/'factored_lanes' == the default 'rows' features
+    at fp level (same params; only the einsum/layout order differs).
+    Covers PAD ids and a non-trivially updated state."""
+    kw = dict(num_nodes=9, num_layer=2, time_decay_weight=0.01,
+              use_matrix=False, enforce_dim=8)
+    base = RandomProjectionModule(**kw)
+    state = base.init_state(KEY)
+    # Advance the state so projections are not the init pattern.
+    state = rp_update(state, jnp.array([0, 3, 5]), jnp.array([1, 4, 8]),
+                      jnp.array([2, 5, 9]), None, 0.01)
+    src = jnp.array([0, 3, -1, 8], jnp.int32)
+    dst = jnp.array([1, -1, 2, 5], jnp.int32)
+    params = base.init(KEY, state, src, dst)
+    ref = base.apply(params, state, src, dst)
+    var = RandomProjectionModule(**kw, pair_layout=layout)
+    got = var.apply(params, state, src, dst)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_tpnet_forward():
     rp = RandomProjectionModule(num_nodes=12, num_layer=1, time_decay_weight=0.01)
     rp_state = rp.init_state(KEY)

@@ -747,14 +747,15 @@ class GraphAttentionEmbeddingRowwise(nn.Module):
     # MXU does to f32 operands anyway; keeps the gathered neighbor tensors in
     # bf16 end-to-end (see modules/attention.py:TemporalAttention.kv_bf16).
     kv_bf16: bool = False
-    # Score-tensor layout. "kmajor" (default): logits (S, K, H) — K/H are the
-    # tiled dims, 20/1024 tile-slot utilization at H=2, K=10 (the r5 TPU eval
-    # profile showed the softmax/mask fusions on these shapes at ~27% of the
-    # eval epoch). "lanes": logits (H, K, S) — seeds on the 128-lane axis
-    # (same philosophy as the lane-major recency select kernel), softmax
-    # reduces over the sublane-tiled K axis. Same math modulo fp reduction
-    # order.
-    score_layout: str = "kmajor"
+    # Score-tensor layout. "lanes" (default): logits (H, K, S) — seeds on
+    # the 128-lane axis (same philosophy as the lane-major recency select
+    # kernel), softmax reduces over the sublane-tiled K axis. "kmajor":
+    # logits (S, K, H) — K/H are the tiled dims, 20/1024 tile-slot
+    # utilization at H=2, K=10; the r5 TPU eval profile showed its
+    # softmax/mask fusions at ~27% of the eval epoch. Same math modulo fp
+    # reduction order; measured same-session on v5e (r5): train 272.0k vs
+    # 253.6k (+7.3%), eval 143.9k vs 91.8k (+56.8%) edges/s.
+    score_layout: str = "lanes"
 
     def setup(self) -> None:
         assert self.out_channels % self.n_heads == 0

@@ -114,6 +114,17 @@ class RandomProjectionModule(nn.Module):
     # (tpnet.py:204-209), i.e. padded neighbors read a REAL node's
     # projections. Default (False) routes them to the zero dump row.
     reference_pad_bias: bool = False
+    # Pairwise-feature layout. "rows" (default): einsum("bld,bmd->blm") —
+    # at TPNet-eval row counts (160,000 pairs/batch) the (B, 6, 6) output's
+    # tiny minor dims profile at ~34% of the eval epoch (two ~2.0 ms
+    # einsums + two 0.87 ms relayout copies, r5). "lanes": the pair axis
+    # rides the 128 VPU lanes — einsum("lbd,mbd->lmb") -> (36, B) -> log1p
+    # in lane layout -> ONE transpose -> the same row MLP (identical
+    # params). "factored_lanes" additionally computes the nbr·nbr and
+    # seed·seed diagonal 3x3 blocks per NODE (one (L+1, N, d) self-einsum)
+    # and gathers them, leaving only the 3x3 cross block per pair. All
+    # fp-level equal (tests/test_advanced_encoders.py).
+    pair_layout: str = "rows"
 
     @property
     def dim(self) -> int:
@@ -154,17 +165,41 @@ class RandomProjectionModule(nn.Module):
         n = self.num_nodes
         invalid_row = n - 1 if self.reference_pad_bias else n
         rows = lambda ids: jnp.where((ids >= 0) & (ids < n), ids, invalid_row)
-        src_rp = state.projections[:, rows(src)]  # (L+1, B, dim)
-        dst_rp = state.projections[:, rows(dst)]
-        src_rp = jnp.moveaxis(src_rp, 0, 1)  # (B, L+1, dim)
-        dst_rp = jnp.moveaxis(dst_rp, 0, 1)
-        if self.concat_src_dst:
-            rp = jnp.concatenate([src_rp, dst_rp], axis=1)  # (B, 2L+2, dim)
-            feat = jnp.einsum("bld,bmd->blm", rp, rp).reshape(src.shape[0], -1)
+        if self.pair_layout != "rows" and self.concat_src_dst:
+            # Lane-major pair features: keep the big pair axis minor so every
+            # elementwise op in the chain has full lane utilization; one
+            # (B, F²) transpose at the end feeds the unchanged row MLP.
+            a = state.projections[:, rows(src)]  # (L+1, B, dim)
+            b = state.projections[:, rows(dst)]
+            L1 = a.shape[0]
+            if self.pair_layout == "factored_lanes":
+                selfb = jnp.einsum("lnd,mnd->lmn", state.projections,
+                                   state.projections)  # (L+1, L+1, N+1)
+                aa = selfb[:, :, rows(src)]  # (L+1, L+1, B)
+                bb = selfb[:, :, rows(dst)]
+                cross = jnp.einsum("lbd,mbd->lmb", a, b)
+                top = jnp.concatenate([aa, cross], axis=1)
+                bot = jnp.concatenate([jnp.swapaxes(cross, 0, 1), bb], axis=1)
+                feat = jnp.concatenate([top, bot], axis=0)  # (2L1, 2L1, B)
+            else:  # "lanes"
+                rp = jnp.concatenate([a, b], axis=0)  # (2L+2, B, dim)
+                feat = jnp.einsum("lbd,mbd->lmb", rp, rp)
+            feat = feat.reshape(4 * L1 * L1, src.shape[0])
+            if self.scale_random_projection:
+                feat = jnp.log(jnp.maximum(feat, 0.0) + 1.0)
+            feat = feat.T  # one (B, F²) relayout instead of per-op copies
         else:
-            feat = jnp.einsum("bld,bmd->blm", src_rp, dst_rp).reshape(src.shape[0], -1)
-        if self.scale_random_projection:
-            feat = jnp.log(jnp.maximum(feat, 0.0) + 1.0)
+            src_rp = state.projections[:, rows(src)]  # (L+1, B, dim)
+            dst_rp = state.projections[:, rows(dst)]
+            src_rp = jnp.moveaxis(src_rp, 0, 1)  # (B, L+1, dim)
+            dst_rp = jnp.moveaxis(dst_rp, 0, 1)
+            if self.concat_src_dst:
+                rp = jnp.concatenate([src_rp, dst_rp], axis=1)  # (B, 2L+2, dim)
+                feat = jnp.einsum("bld,bmd->blm", rp, rp).reshape(src.shape[0], -1)
+            else:
+                feat = jnp.einsum("bld,bmd->blm", src_rp, dst_rp).reshape(src.shape[0], -1)
+            if self.scale_random_projection:
+                feat = jnp.log(jnp.maximum(feat, 0.0) + 1.0)
         h = nn.Dense(self.out_dim * 4)(feat)
         return nn.Dense(self.out_dim)(nn.relu(h))
 
