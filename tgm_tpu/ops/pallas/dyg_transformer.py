@@ -71,6 +71,22 @@ def convert_flax_layer(p: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
     }
 
 
+def _gelu_exact(x32: jnp.ndarray) -> jnp.ndarray:
+    """Exact-gelu 0.5*x*(1+erf(x/sqrt2)) with erf via Abramowitz-Stegun
+    7.1.26 (max abs err 1.5e-7 — far below the kernel's bf16 operand
+    noise). Needed because Mosaic lowers neither ``erf`` nor ``erfc``
+    (only ``erf_inv``), so ``jax.nn.gelu(approximate=False)`` fails to
+    compile inside a TPU kernel."""
+    z = x32 * 0.7071067811865476
+    s = jnp.sign(z)
+    az = jnp.abs(z)
+    t = 1.0 / (1.0 + 0.3275911 * az)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    erf = s * (1.0 - poly * jnp.exp(-az * az))
+    return 0.5 * x32 * (1.0 + erf)
+
+
 def _ln(x32: jnp.ndarray, scale, bias, eps=1e-5) -> jnp.ndarray:
     mu = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean((x32 - mu) ** 2, axis=-1, keepdims=True)
@@ -133,7 +149,7 @@ def _kernel(x_ref, *refs, num_layers: int, num_heads: int, seq_len: int,
                     preferred_element_type=jnp.float32)
             + b1[0]
         )
-        f = jax.nn.gelu(f, approximate=False)
+        f = _gelu_exact(f)
         f = (
             jnp.dot(f.astype(jnp.bfloat16), w2.astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32)
