@@ -492,6 +492,7 @@ def bench_tncn(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
         tgn_store_messages,
     )
     from tgm_tpu.train import scanned_hook_epoch
+    from tgm_tpu.train.tncn_pipeline import tncn_train_scores_occurrence
 
     K, time_dim, embed_dim, memory_dim = 10, 100, 100, 100
     hm = _base_hm(dg, args, num_edges)
@@ -569,9 +570,28 @@ def bench_tncn(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
             batch.nbr_edge_x[0].reshape(nbr_flat.shape[0], -1), e_valid,
         )
 
+    # Occurrence-space fused train scoring (train/tncn_pipeline.py): no
+    # full-table staging, no segment scatters — only legal in the global id
+    # space (occurrence columns must BE node ids).
+    use_occurrence = (
+        getattr(args, "tncn_exec", "occurrence") == "occurrence" and use_global
+    )
+
     def core(carry, batch):
         params, opt_state, mem_state = carry
         loc = make_loc(batch)
+
+        def loss_occurrence(p):
+            B = batch.edge_src.shape[0]
+            nbr_ok = (batch.nbr_nids[0] != PADDED_NODE_ID) & (
+                batch.seed_nids[0][:, None] != PADDED_NODE_ID
+            )
+            pos, neg = tncn_train_scores_occurrence(
+                memory, encoder, decoder, p, mem_state,
+                batch.seed_nids[0], batch.nbr_nids[0],
+                batch.nbr_edge_time[0], batch.nbr_edge_x[0], nbr_ok, B,
+            )
+            return _bce(pos, neg, batch.edge_valid)
 
         def loss_fn(p):
             z_mem, last_upd = memory.apply(
@@ -606,7 +626,9 @@ def bench_tncn(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
             neg = score(rows[:B], rows[2 * B :], batch.edge_src, batch.neg)
             return _bce(pos, neg, batch.edge_valid)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss, grads = jax.value_and_grad(
+            loss_occurrence if use_occurrence else loss_fn
+        )(params)
         nodes = jnp.concatenate([batch.edge_src, batch.edge_dst])
         nodes = jnp.where(
             jnp.concatenate([batch.edge_valid, batch.edge_valid]),
@@ -1015,6 +1037,13 @@ def main() -> None:
                    "ids, no in-scan jnp.unique sort, no g2l scatter; dedup = "
                    "per-batch DeduplicationHook local space")
     p.add_argument(
+        "--tncn-exec", choices=["table", "occurrence"], default="table",
+        help="tncn train scoring: occurrence = fused occurrence-space path "
+        "(train/tncn_pipeline.py — no full-table staging, no segment "
+        "scatters; requires --tncn-space global); table = the module path "
+        "(stage(arange(N)) + segment-softmax encoder + score_from_rows). "
+        "Default flips to the measured winner once the TPU A/B lands.")
+    p.add_argument(
         "--calibrate", action=argparse.BooleanOptionalAction, default=True,
         help="record the session raw-speed fingerprint in every JSON line "
         "(see bench.py machine_calibration)")
@@ -1072,6 +1101,8 @@ def main() -> None:
             eps, eval_eps = eps
             if isinstance(eval_eps, tuple):
                 eval_eps, eval_mrr = eval_eps
+        if model == "tncn":
+            execution += f"/{getattr(args, 'tncn_exec', 'table')}"
         out = {
             "metric": f"{model}_train_edges_per_sec_tgbl_wiki_shape",
             "value": round(eps, 1),
