@@ -574,7 +574,7 @@ def bench_tncn(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
     # full-table staging, no segment scatters — only legal in the global id
     # space (occurrence columns must BE node ids).
     use_occurrence = (
-        getattr(args, "tncn_exec", "occurrence") == "occurrence" and use_global
+        getattr(args, "tncn_exec", "table") == "occurrence" and use_global
     )
 
     def core(carry, batch):
