@@ -190,7 +190,7 @@ def bench_tpnet(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
         num_nodes=num_nodes, num_layer=2, time_decay_weight=1e-6,
         beginning_time=float(dg.start_time or 0), use_matrix=False,
         enforce_dim=min(64, num_nodes),
-        pair_layout=getattr(args, "tpnet_rp", "rows"),
+        pair_layout=getattr(args, "tpnet_rp", "lanes"),
     )
     encoder = TPNet(
         node_feat_dim=node_x.shape[1], edge_x_dim=edge_dim,
@@ -1049,10 +1049,12 @@ def main() -> None:
         "(see bench.py machine_calibration)")
     p.add_argument(
         "--tpnet-rp", choices=["rows", "lanes", "factored_lanes"],
-        default="rows",
+        default="lanes",
         help="TPNet random-projection pairwise-feature layout (see "
         "RandomProjectionModule.pair_layout; the rows einsum chain is ~34%% "
-        "of the tpnet eval epoch, r5 profile)")
+        "of the tpnet eval epoch, r5 profile). Default lanes: measured "
+        "same-session eval 13.3k vs 11.8k (+12.8%%), train neutral "
+        "(87.8k vs 88.2k) on v5e")
     args = p.parse_args()
 
     import os
