@@ -275,7 +275,7 @@ def run_and_trace(args) -> str:
             print(f"epoch (untraced): {eps:.0f} edges/s")
         return args.trace_dir
 
-    if args.model == "tgn-eval":
+    if args.model in ("tgn-eval", "tgat-eval"):
         # The metric-bearing path: scanned candidate-list eval epoch exactly
         # as bench.py --with-eval builds it (Q=20, TGB-style masked rank).
         import time
@@ -283,12 +283,32 @@ def run_and_trace(args) -> str:
         import jax.numpy as jnp
         from jax import lax
 
-        pipe = TGNPipeline(
-            num_nodes=nn_, edge_dim=ed, memory_dim=100, embed_dim=100,
-            time_dim=100, num_nbrs=10, lr=1e-4,
-            neg_low=int(dg.edge_dst.min()), neg_high=int(dg.edge_dst.max()),
-            edge_x_full=stream.edge_x,
-        )
+        if args.model == "tgat-eval":
+            import numpy as _np
+
+            from tgm_tpu.train.tgat_pipeline import TGATPipeline
+
+            node_x = jnp.asarray(
+                _np.random.default_rng(0).normal(size=(nn_, 1)).astype(
+                    _np.float32)
+            )
+            pipe = TGATPipeline(
+                num_nodes=nn_, edge_dim=ed, node_x=node_x, embed_dim=100,
+                time_dim=100, num_nbrs=(10, 10), lr=1e-4,
+                neg_low=int(dg.edge_dst.min()),
+                neg_high=int(dg.edge_dst.max()),
+                edge_x_full=stream.edge_x,
+                edge_ends_full=(dg.edge_src, dg.edge_dst),
+                attn_score_layout="lanes",
+            )
+        else:
+            pipe = TGNPipeline(
+                num_nodes=nn_, edge_dim=ed, memory_dim=100, embed_dim=100,
+                time_dim=100, num_nbrs=10, lr=1e-4,
+                neg_low=int(dg.edge_dst.min()),
+                neg_high=int(dg.edge_dst.max()),
+                edge_x_full=stream.edge_x,
+            )
         carry = pipe.init_carry(jax.random.PRNGKey(0))
         Q, B, nb = 20, args.bsize, stream.num_batches
         cands = jax.random.randint(
@@ -303,7 +323,8 @@ def run_and_trace(args) -> str:
             return lax.scan(body, c, jnp.arange(nb))
 
         eval_jit = jax.jit(eval_epoch, donate_argnums=())
-        carry = pipe.flush_all(carry)
+        if hasattr(pipe, "flush_all"):  # TGAT carries no memory to flush
+            carry = pipe.flush_all(carry)
         carry, (sm, cc) = eval_jit(carry)
         jax.block_until_ready(sm)
         t0 = time.perf_counter()
@@ -363,7 +384,7 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--bsize", type=int, default=200)
-    p.add_argument("--model", type=str, default="tgn", choices=["tgn", "tgn-hooks", "tgn-eval", "tgat", "dygformer",
+    p.add_argument("--model", type=str, default="tgn", choices=["tgn", "tgn-hooks", "tgn-eval", "tgat", "tgat-eval", "dygformer",
                             "tncn", "tpnet", "ctan", "graphmixer",
                             "tncn-eval", "tpnet-eval", "ctan-eval",
                             "graphmixer-eval"])
