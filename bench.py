@@ -468,6 +468,7 @@ def run_dygformer_bench(args, dg, stream, num_nodes, num_edges, edge_dim) -> Non
         RecencyNeighborHook,
     )
     from tgm_tpu.nn import DyGFormer, LinkPredictor
+    from tgm_tpu.nn.encoder.dygformer import dygformer_pallas_layers
     from tgm_tpu.train import scanned_hook_epoch
     from tgm_tpu.util.precision import resolve_bf16
 
@@ -511,9 +512,10 @@ def run_dygformer_bench(args, dg, stream, num_nodes, num_edges, edge_dim) -> Non
     opt = optax.adam(1e-4)
     pair_fused = args.dyg_pairs == "fused"
 
-    def encode_pair(p, batch, seed_a, seed_b, nbrs, nts, nxs):
+    def encode_pair(p, batch, seed_a, seed_b, nbrs, nts, nxs, pl=None):
         return encoder.apply(
-            p["enc"], node_x, seed_a, seed_b, batch.edge_time, nbrs, nts, nxs
+            p["enc"], node_x, seed_a, seed_b, batch.edge_time, nbrs, nts, nxs,
+            pallas_layers=pl,
         )
 
     def train_core(carry, batch):
@@ -612,6 +614,15 @@ def run_dygformer_bench(args, dg, stream, num_nodes, num_edges, edge_dim) -> Non
         from tgm_tpu.eval.metrics import mrr_sum_count
         from tgm_tpu.hooks import candidate_rows, seed_lookup
 
+        # Fused Pallas transformer stack for the eval forwards (the stack is
+        # forward-only at eval; pallas_call has no VJP so train keeps flax).
+        # The converted layers are epoch-invariant (params frozen) and close
+        # over the scanned program as constants, like the eval tables.
+        eval_pl = (
+            dygformer_pallas_layers(carry[0]["enc"], encoder.num_layers)
+            if args.dyg_stack == "pallas" else None
+        )
+
         def eval_core(carry, batch):
             params, rng = carry
             B = batch.edge_src.shape[0]
@@ -624,6 +635,7 @@ def run_dygformer_bench(args, dg, stream, num_nodes, num_edges, edge_dim) -> Non
                 jnp.concatenate([nbr[:B], nbr[B:2 * B]]),
                 jnp.concatenate([nt[:B], nt[B:2 * B]]),
                 jnp.concatenate([nx[:B], nx[B:2 * B]]),
+                pl=eval_pl,
             )
             pos = decoder.apply(params["dec"], zs, zd)
             negs = batch.neg_batch_list.reshape(-1)
@@ -636,6 +648,7 @@ def run_dygformer_bench(args, dg, stream, num_nodes, num_edges, edge_dim) -> Non
                 jnp.concatenate([jnp.repeat(nbr[:B], Qb, axis=0), nbr[cand_r]]),
                 jnp.concatenate([jnp.repeat(nt[:B], Qb, axis=0), nt[cand_r]]),
                 jnp.concatenate([jnp.repeat(nx[:B], Qb, axis=0), nx[cand_r]]),
+                pallas_layers=eval_pl,
             )
             neg_sc = decoder.apply(params["dec"], zs2, zn).reshape(B, Qb)
             s, c = mrr_sum_count(
@@ -892,6 +905,13 @@ def main() -> None:
                    help="dygformer pos/neg pairs. Default two separate "
                    "encoder calls; the single encode_pairs forward over the "
                    "stacked (3B) hook rows measured NEUTRAL (45.7k vs 46.0k)")
+    p.add_argument("--dyg-stack", choices=["flax", "pallas"], default="flax",
+                   help="dygformer EVAL transformer stack: flax (XLA) or the "
+                   "fused Pallas forward kernel (ops/pallas/dyg_transformer "
+                   "— whole stack in VMEM; spike measured 1.38x vs XLA at "
+                   "(200, 64, 200) on v5e). Eval only: pallas_call has no "
+                   "VJP, train always runs flax. Default flips to the "
+                   "measured winner once the epoch A/B lands")
     p.add_argument(
         "--eval-proj-table", action=argparse.BooleanOptionalAction,
         default=True,

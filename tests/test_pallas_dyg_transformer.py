@@ -49,3 +49,36 @@ def test_stack_matches_flax():
     # is at bf16 rounding, not bitwise (same bound as the spike tool).
     err = np.max(np.abs(got - ref)) / max(np.max(np.abs(ref)), 1e-9)
     assert err < 5e-2, err
+
+
+def test_dygformer_pallas_layers_end_to_end():
+    """DyGFormer with ``pallas_layers`` == the flax stack path (model-level
+    integration used by the bench eval epoch, interpret mode on CPU)."""
+    from tgm_tpu.nn import DyGFormer
+    from tgm_tpu.nn.encoder.dygformer import dygformer_pallas_layers
+
+    B, K = 4, 6
+    enc = DyGFormer(
+        node_feat_dim=3, edge_x_dim=5, time_feat_dim=8,
+        channel_embedding_dim=8, output_dim=16, patch_size=1,
+        max_input_sequence_length=8, dropout=0.0,
+    )
+    rng = np.random.default_rng(1)
+    node_x = jnp.asarray(rng.normal(size=(30, 3)).astype(np.float32))
+    src = jnp.asarray(rng.integers(0, 30, B), jnp.int32)
+    dst = jnp.asarray(rng.integers(0, 30, B), jnp.int32)
+    t = jnp.asarray(rng.integers(0, 100, B), jnp.int32)
+    nbrs = jnp.asarray(rng.integers(0, 30, (2 * B, K)), jnp.int32)
+    ntime = jnp.asarray(rng.integers(0, 100, (2 * B, K)), jnp.int32)
+    nfeat = jnp.asarray(rng.normal(size=(2 * B, K, 5)).astype(np.float32))
+
+    p = enc.init(jax.random.PRNGKey(0), node_x, src, dst, t, nbrs, ntime,
+                 nfeat)
+    zs_f, zd_f = enc.apply(p, node_x, src, dst, t, nbrs, ntime, nfeat)
+    pl = dygformer_pallas_layers(p, enc.num_layers)
+    zs_p, zd_p = enc.apply(p, node_x, src, dst, t, nbrs, ntime, nfeat,
+                           pallas_layers=pl)
+    for a, b in ((zs_p, zs_f), (zd_p, zd_f)):
+        err = np.max(np.abs(np.asarray(a) - np.asarray(b))) / max(
+            float(np.max(np.abs(np.asarray(b)))), 1e-9)
+        assert err < 5e-2, err

@@ -31,7 +31,7 @@ parity surface; ``bench.py --model dygformer`` / the example turn them on):
 
 from __future__ import annotations
 
-from typing import Any, Set, Tuple
+from typing import Any, Dict, Optional, Sequence, Set, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -302,6 +302,7 @@ class DyGFormer(nn.Module):
         neighbours_time: jnp.ndarray,  # (2B, K)
         neighbours_edge_feat: jnp.ndarray,  # (2B, K, d_E)
         deterministic: bool = True,
+        pallas_layers: Optional[Sequence[Dict[str, jnp.ndarray]]] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         B = edge_src.shape[0]
 
@@ -340,12 +341,32 @@ class DyGFormer(nn.Module):
             B, 2 * P, self.num_channels * self.channel_embedding_dim
         )
 
-        for tr in self.transformers:
-            patches = tr(patches, deterministic=deterministic)
+        patches = self._run_stack(patches, deterministic, pallas_layers)
 
         src_repr = jnp.mean(patches[:, :P, :], axis=1)
         dst_repr = jnp.mean(patches[:, P:, :], axis=1)
         return self.output_layer(src_repr), self.output_layer(dst_repr)
+
+    def _run_stack(self, patches, deterministic, pallas_layers):
+        """Transformer stack: flax loop, or the fused Pallas forward kernel
+        (ops/pallas/dyg_transformer.py — whole stack in VMEM; measured 1.38x
+        vs the XLA stack at (200, 64, 200) on v5e). Forward-only (pallas_call
+        has no VJP) — eval paths pass ``pallas_layers`` built once per epoch
+        by ``dygformer_pallas_layers``."""
+        if pallas_layers is None:
+            for tr in self.transformers:
+                patches = tr(patches, deterministic=deterministic)
+            return patches
+        from tgm_tpu.ops.pallas.dyg_transformer import transformer_stack_fwd
+
+        B = patches.shape[0]
+        block_b = next(g for g in (8, 4, 2, 1) if B % g == 0)
+        out = transformer_stack_fwd(
+            patches.astype(jnp.float32), pallas_layers,
+            num_heads=self.num_heads, block_b=block_b,
+            interpret=jax.default_backend() == "cpu",
+        )
+        return out.astype(patches.dtype)
 
     def encode_pairs(
         self,
@@ -358,6 +379,7 @@ class DyGFormer(nn.Module):
         neighbours_time: jnp.ndarray,  # (3B, K)
         neighbours_edge_feat: jnp.ndarray,  # (3B, K, d_E)
         deterministic: bool = True,
+        pallas_layers: Optional[Sequence[Dict[str, jnp.ndarray]]] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """One forward for BOTH training pairs: (src, dst) and (src, neg).
 
@@ -413,8 +435,7 @@ class DyGFormer(nn.Module):
             2 * B, 2 * P, self.num_channels * self.channel_embedding_dim
         )
 
-        for tr in self.transformers:
-            patches = tr(patches, deterministic=deterministic)
+        patches = self._run_stack(patches, deterministic, pallas_layers)
 
         left_repr = jnp.mean(patches[:, :P, :], axis=1)
         right_repr = jnp.mean(patches[:, P:, :], axis=1)
@@ -422,3 +443,28 @@ class DyGFormer(nn.Module):
         z_src, z_src2 = out[:B], out[B : 2 * B]
         z_dst, z_neg = out[2 * B : 3 * B], out[3 * B :]
         return z_src, z_dst, z_src2, z_neg
+
+
+def dygformer_pallas_layers(enc_params, num_layers: int):
+    """Convert a DyGFormer param tree's transformer subtrees to the fused
+    Pallas kernel's flat per-layer dicts (ops/pallas/dyg_transformer.py).
+
+    Epoch-invariant at eval (params frozen), so eval paths build this ONCE
+    outside the scan and close over it — the same policy as the eval
+    closure-constant tables (docs/performance.md). Requires the flax-MHA
+    attention layout (``fused_attn=False``) and f32 LayerNorms
+    (``bf16_stream=False``); both are the measured-winner defaults.
+    """
+    from tgm_tpu.ops.pallas.dyg_transformer import convert_flax_layer
+
+    p = enc_params["params"]
+    layers = []
+    for i in range(num_layers):
+        sub = p[f"transformers_{i}"]
+        if "MultiHeadDotProductAttention_0" not in sub:
+            raise ValueError(
+                "pallas stack needs the flax-MHA layout (fused_attn=False, "
+                "bf16_stream=False)"
+            )
+        layers.append(convert_flax_layer(sub))
+    return layers

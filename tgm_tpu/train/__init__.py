@@ -5,6 +5,7 @@ from .hook_pipeline import scanned_hook_epoch
 from .stream import DeviceEdgeStream, DeviceEventStream
 from .tgat_pipeline import TGATCarry, TGATPipeline
 from .tgn_pipeline import TGNCarry, TGNPipeline
+from .tncn_pipeline import tncn_train_scores_occurrence
 
 __all__ = [
     "CheckpointManager",
@@ -21,4 +22,5 @@ __all__ = [
     "save_checkpoint",
     "scan_epoch",
     "scanned_hook_epoch",
+    "tncn_train_scores_occurrence",
 ]
