@@ -574,7 +574,7 @@ def bench_tncn(args, dg, stream, num_nodes, num_edges, edge_dim) -> float:
     # full-table staging, no segment scatters — only legal in the global id
     # space (occurrence columns must BE node ids).
     use_occurrence = (
-        getattr(args, "tncn_exec", "table") == "occurrence" and use_global
+        getattr(args, "tncn_exec", "occurrence") == "occurrence" and use_global
     )
 
     def core(carry, batch):
@@ -1037,12 +1037,13 @@ def main() -> None:
                    "ids, no in-scan jnp.unique sort, no g2l scatter; dedup = "
                    "per-batch DeduplicationHook local space")
     p.add_argument(
-        "--tncn-exec", choices=["table", "occurrence"], default="table",
-        help="tncn train scoring: occurrence = fused occurrence-space path "
-        "(train/tncn_pipeline.py — no full-table staging, no segment "
-        "scatters; requires --tncn-space global); table = the module path "
-        "(stage(arange(N)) + segment-softmax encoder + score_from_rows). "
-        "Default flips to the measured winner once the TPU A/B lands.")
+        "--tncn-exec", choices=["table", "occurrence"], default="occurrence",
+        help="tncn train scoring: occurrence (default) = fused "
+        "occurrence-space path (train/tncn_pipeline.py — no full-table "
+        "staging, no segment scatters; requires --tncn-space global). "
+        "Same-session v5e A/B: 159.5k vs 53.3k edges/s (+199%%). table = "
+        "the module path (stage(arange(N)) + segment-softmax encoder + "
+        "score_from_rows)")
     p.add_argument(
         "--calibrate", action=argparse.BooleanOptionalAction, default=True,
         help="record the session raw-speed fingerprint in every JSON line "
@@ -1104,7 +1105,7 @@ def main() -> None:
             if isinstance(eval_eps, tuple):
                 eval_eps, eval_mrr = eval_eps
         if model == "tncn":
-            execution += f"/{getattr(args, 'tncn_exec', 'table')}"
+            execution += f"/{getattr(args, 'tncn_exec', 'occurrence')}"
         out = {
             "metric": f"{model}_train_edges_per_sec_tgbl_wiki_shape",
             "value": round(eps, 1),
