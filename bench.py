@@ -905,13 +905,15 @@ def main() -> None:
                    help="dygformer pos/neg pairs. Default two separate "
                    "encoder calls; the single encode_pairs forward over the "
                    "stacked (3B) hook rows measured NEUTRAL (45.7k vs 46.0k)")
-    p.add_argument("--dyg-stack", choices=["flax", "pallas"], default="flax",
-                   help="dygformer EVAL transformer stack: flax (XLA) or the "
-                   "fused Pallas forward kernel (ops/pallas/dyg_transformer "
-                   "— whole stack in VMEM; spike measured 1.38x vs XLA at "
-                   "(200, 64, 200) on v5e). Eval only: pallas_call has no "
-                   "VJP, train always runs flax. Default flips to the "
-                   "measured winner once the epoch A/B lands")
+    p.add_argument("--dyg-stack", choices=["flax", "pallas"], default="pallas",
+                   help="dygformer EVAL transformer stack: the fused Pallas "
+                   "forward kernel (default; ops/pallas/dyg_transformer — "
+                   "whole stack in VMEM) or flax (XLA). Same-session v5e "
+                   "A/B: eval 14,068 vs 9,243 edges/s (+52%%) — the kernel "
+                   "is 1.38x standalone and additionally kills the stack's "
+                   "inter-op HBM round-trips in the (B*Q, 64, 200) eval "
+                   "call. Eval only: pallas_call has no VJP, train always "
+                   "runs flax")
     p.add_argument(
         "--eval-proj-table", action=argparse.BooleanOptionalAction,
         default=True,
