@@ -33,6 +33,7 @@ from tgm_tpu.nn.decoder.ncnpred import (
     ncn_adjacency_rows_blocked,
 )
 from tgm_tpu.nn.encoder.tgn import GraphAttentionEmbedding, TGNMemory, tgn_store_messages
+from tgm_tpu.train import tncn_train_scores_occurrence
 
 
 def main():
@@ -43,7 +44,17 @@ def main():
     p.add_argument("--memory-dim", type=int, default=100)
     p.add_argument("--ncn-k", type=int, default=2, choices=[2, 4, 8])
     p.add_argument("--cn-time-decay", action="store_true")
+    p.add_argument(
+        "--exec", choices=["table", "occurrence"], default="table",
+        dest="exec_mode",
+        help="train-step scoring: table (reference-shaped: full-table "
+        "staging + segment-softmax encoder + score_from_rows) or "
+        "occurrence (tgm_tpu.train.tncn_train_scores_occurrence — same "
+        "scores at fp tolerance, measured 3.0x train throughput on v5e; "
+        "k=2, no decay). Eval always runs the table path.")
     args = p.parse_args()
+    if args.exec_mode == "occurrence" and (args.ncn_k != 2 or args.cn_time_decay):
+        p.error("--exec occurrence supports --ncn-k 2 without --cn-time-decay")
 
     setup = setup_linkpred(args)
     num_nodes = setup.num_nodes
@@ -165,10 +176,31 @@ def main():
             mem_state, batch.edge_src, batch.edge_dst, batch.edge_time, raw, batch.edge_valid
         )
 
+    use_occurrence = args.exec_mode == "occurrence"
+
     @partial(jax.jit, donate_argnums=(1, 2, 3))
     def train_step(params, opt_state, mem_state, rng, batch):
         rng, kd = jax.random.split(rng)
         g2l = batch.global_to_local
+
+        def loss_occurrence(p):
+            # Occurrence-space scoring works on RAW node ids (it never
+            # touches the dedup table), so the hook setup is unchanged.
+            B = batch.edge_src.shape[0]
+            nbr_ok = (batch.nbr_nids[0] != PADDED_NODE_ID) & (
+                batch.seed_nids[0][:, None] != PADDED_NODE_ID
+            )
+            pos, neg = tncn_train_scores_occurrence(
+                memory, encoder, decoder, p, mem_state,
+                batch.seed_nids[0], batch.nbr_nids[0],
+                batch.nbr_edge_time[0], batch.nbr_edge_x[0], nbr_ok, B,
+            )
+            m = batch.edge_valid.astype(pos.dtype)
+            d = jnp.maximum(m.sum(), 1.0)
+            return (
+                jnp.sum(optax.sigmoid_binary_cross_entropy(pos, jnp.ones_like(pos)) * m)
+                + jnp.sum(optax.sigmoid_binary_cross_entropy(neg, jnp.zeros_like(neg)) * m)
+            ) / d
 
         def loss_fn(p):
             z, last_upd, sub = encode(p, mem_state, batch, kd)
@@ -188,7 +220,8 @@ def main():
                 + jnp.sum(optax.sigmoid_binary_cross_entropy(neg, jnp.zeros_like(neg)) * m)
             ) / d
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss, grads = jax.value_and_grad(
+            loss_occurrence if use_occurrence else loss_fn)(params)
         mem_state = commit(params, mem_state, batch)
         updates, opt_state = opt.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
