@@ -618,9 +618,12 @@ def run_dygformer_bench(args, dg, stream, num_nodes, num_edges, edge_dim) -> Non
         # forward-only at eval; pallas_call has no VJP so train keeps flax).
         # The converted layers are epoch-invariant (params frozen) and close
         # over the scanned program as constants, like the eval tables.
+        use_pallas_stack = args.dyg_stack == "pallas" or (
+            args.dyg_stack == "auto" and jax.default_backend() != "cpu"
+        )
         eval_pl = (
             dygformer_pallas_layers(carry[0]["enc"], encoder.num_layers)
-            if args.dyg_stack == "pallas" else None
+            if use_pallas_stack else None
         )
 
         def eval_core(carry, batch):
@@ -905,15 +908,17 @@ def main() -> None:
                    help="dygformer pos/neg pairs. Default two separate "
                    "encoder calls; the single encode_pairs forward over the "
                    "stacked (3B) hook rows measured NEUTRAL (45.7k vs 46.0k)")
-    p.add_argument("--dyg-stack", choices=["flax", "pallas"], default="pallas",
+    p.add_argument("--dyg-stack", choices=["auto", "flax", "pallas"],
+                   default="auto",
                    help="dygformer EVAL transformer stack: the fused Pallas "
-                   "forward kernel (default; ops/pallas/dyg_transformer — "
-                   "whole stack in VMEM) or flax (XLA). Same-session v5e "
-                   "A/B: eval 14,068 vs 9,243 edges/s (+52%%) — the kernel "
-                   "is 1.38x standalone and additionally kills the stack's "
-                   "inter-op HBM round-trips in the (B*Q, 64, 200) eval "
-                   "call. Eval only: pallas_call has no VJP, train always "
-                   "runs flax")
+                   "forward kernel (ops/pallas/dyg_transformer — whole "
+                   "stack in VMEM) or flax (XLA). auto (default) = pallas "
+                   "on TPU, flax on CPU (the kernel's CPU interpret mode "
+                   "is test-only slow). Same-session v5e A/B: eval 14,068 "
+                   "vs 9,243 edges/s (+52%%) — the kernel is 1.38x "
+                   "standalone and additionally kills the stack's inter-op "
+                   "HBM round-trips in the (B*Q, 64, 200) eval call. Eval "
+                   "only: pallas_call has no VJP, train always runs flax")
     p.add_argument(
         "--eval-proj-table", action=argparse.BooleanOptionalAction,
         default=True,
