@@ -53,8 +53,11 @@ def main():
         "scores at fp tolerance, measured 3.0x train throughput on v5e; "
         "k=2, no decay). Eval always runs the table path.")
     args = p.parse_args()
-    if args.exec_mode == "occurrence" and (args.ncn_k != 2 or args.cn_time_decay):
-        p.error("--exec occurrence supports --ncn-k 2 without --cn-time-decay")
+    if args.exec_mode == "occurrence" and (
+        args.ncn_k not in (2, 4) or args.cn_time_decay
+    ):
+        p.error("--exec occurrence supports --ncn-k {2,4} without "
+                "--cn-time-decay")
 
     setup = setup_linkpred(args)
     num_nodes = setup.num_nodes

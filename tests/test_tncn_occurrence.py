@@ -27,7 +27,7 @@ N, B, K = 40, 6, 4
 MEM_D, EMB_D, TIME_D, EDGE_D = 16, 16, 8, 5
 
 
-def build():
+def build(k=2):
     rng = np.random.default_rng(0)
     memory = TGNMemory(num_nodes=N, raw_msg_dim=EDGE_D, memory_dim=MEM_D,
                        time_dim=TIME_D)
@@ -36,7 +36,7 @@ def build():
         time_dim=TIME_D, dropout=0.0,
     )
     decoder = NCNPredictor(in_channels=EMB_D, hidden_dim=EMB_D,
-                           out_channels=1, k=2)
+                           out_channels=1, k=k)
 
     mem_state = memory.init_state()
     key = jax.random.PRNGKey(0)
@@ -156,6 +156,19 @@ def test_scores_match_module_path():
                                rtol=3e-2, atol=3e-2)
     np.testing.assert_allclose(np.asarray(neg_b)[ok], np.asarray(neg_m)[ok],
                                rtol=3e-2, atol=3e-2)
+
+
+def test_k4_scores_match_module_path():
+    memory, encoder, decoder, params, mem_state, batch = build(k=4)
+    pos_m, neg_m = module_path_scores(memory, encoder, decoder, params,
+                                      mem_state, batch)
+    pos_o, neg_o = occurrence_path_scores(memory, encoder, decoder, params,
+                                          mem_state, batch)
+    ok = np.asarray(batch["src"] != PADDED_NODE_ID)
+    np.testing.assert_allclose(np.asarray(pos_o)[ok], np.asarray(pos_m)[ok],
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(neg_o)[ok], np.asarray(neg_m)[ok],
+                               rtol=5e-4, atol=5e-4)
 
 
 def test_grads_match_module_path():

@@ -42,7 +42,7 @@ Everything is gathers-from-state (not differentiated — no backward scatters),
 dense equality-mask matmuls (backward = transposed matmuls) and fused
 reduces. Backward contains no scatter of any kind.
 
-Scope: training scores for k ∈ {2}, ``cn_time_decay=False``, deterministic
+Scope: training scores for k ∈ {2, 4}, ``cn_time_decay=False``, deterministic
 attention (the bench configuration and the example defaults). Eval keeps the
 table path: the equality reduces scale as (S·K)² and the eval seed count
 (S=4,400) makes them larger than the staging they replace, while eval staging
@@ -77,8 +77,8 @@ def tncn_train_scores_occurrence(
     mask_dtype: jnp.dtype = jnp.float32,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Return (pos_scores (B,), neg_scores (B,)) for the TNCN train step."""
-    if decoder.k != 2:
-        raise ValueError("occurrence path supports k == 2")
+    if decoder.k not in (2, 4):
+        raise ValueError("occurrence path supports k in {2, 4}")
     if decoder.cn_time_decay:
         raise ValueError("occurrence path supports cn_time_decay=False")
 
@@ -161,16 +161,16 @@ def tncn_train_scores_occurrence(
     )
     first = (~dup_before) & _valid_ids(occ_ids, num_nodes)  # (S+E,)
 
-    # ---- decoder (k = 2) ------------------------------------------------- #
+    # ---- decoder (k ∈ {2, 4}) -------------------------------------------- #
     y_occ = enc.lin_skip(staged_occ)  # (S+E, D)
-    cn_pos = rows_o[:B] * rows_o[B:2 * B]  # (B, S+E) occurrence-column cn
-    cn_neg = rows_o[:B] * rows_o[2 * B:3 * B]
 
     fmask = first.astype(mask_dtype)[None, :]
     y16 = y_occ.astype(mask_dtype)
     av16 = av.astype(mask_dtype)
 
     def cn_emb(cn):
+        """Consume ANY occurrence-column cn map: distinct-node skip part +
+        occurrence-sum attention part (the two z-consumer identities)."""
         cn16 = cn.astype(mask_dtype)
         skip_part = jnp.matmul(cn16 * fmask, y16,
                                preferred_element_type=jnp.float32)
@@ -178,14 +178,35 @@ def tncn_train_scores_occurrence(
                                preferred_element_type=jnp.float32)
         return skip_part + attn_part
 
+    ri = rows_o[:B]
+    rj_pos, rj_neg = rows_o[B:2 * B], rows_o[2 * B:3 * B]
+    if decoder.k == 2:
+        embs_pos = [cn_emb(ri * rj_pos)]
+        embs_neg = [cn_emb(ri * rj_neg)]
+    else:  # k == 4: [cn_01, cn_10, cn_11] blocks (ncnpred.py:260-269);
+        # row0 in occurrence columns is the tar node's one-hot.
+        def onehot_occ(tar_nodes):  # (B, S+E)
+            return (
+                (occ_ids[None, :] == tar_nodes[:, None])
+                & _valid_ids(tar_nodes, num_nodes)[:, None]
+            ).astype(jnp.float32)
+
+        r0_i = onehot_occ(seeds[:B])
+        r0_j_pos = onehot_occ(seeds[B:2 * B])
+        r0_j_neg = onehot_occ(seeds[2 * B:3 * B])
+        embs_pos = [cn_emb(r0_i * rj_pos), cn_emb(ri * r0_j_pos),
+                    cn_emb(ri * rj_pos)]
+        embs_neg = [cn_emb(r0_i * rj_neg), cn_emb(ri * r0_j_neg),
+                    cn_emb(ri * rj_neg)]
+
     dec = decoder.bind(params["dec"])
     zi, zj_pos, zj_neg = z_seed[:B], z_seed[B:2 * B], z_seed[2 * B:3 * B]
 
-    def score(zj, emb):
-        xs = jnp.concatenate([zi * zj, emb], axis=-1)
+    def score(zj, embs):
+        xs = jnp.concatenate([zi * zj] + embs, axis=-1)
         return dec.xsmlp(xs).reshape(-1)
 
-    return score(zj_pos, cn_emb(cn_pos)), score(zj_neg, cn_emb(cn_neg))
+    return score(zj_pos, embs_pos), score(zj_neg, embs_neg)
 
 
 def _valid_ids(ids: jnp.ndarray, num_nodes: int) -> jnp.ndarray:
