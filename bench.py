@@ -936,7 +936,7 @@ def main() -> None:
         "neutral (+0.2%%, r5 same-session A/B)",
     )
     p.add_argument(
-        "--attn-layout", choices=["kmajor", "lanes"], default="lanes",
+        "--attn-layout", choices=["kmajor", "lanes", "lanesv"], default="lanes",
         help="TGN rowwise attention score-tensor layout: lanes (default) = "
         "logits (H, K, S) with seeds on the 128-lane axis for the "
         "mask/softmax chain — measured same-session +7.3%% train / +56.8%% "

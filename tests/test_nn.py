@@ -311,11 +311,15 @@ def test_rowwise_attention_score_layout_lanes_matches_kmajor():
         jax.random.normal(r[2], (S, K, D)),
         valid,
     )
-    base = GraphAttentionEmbeddingRowwise(**kw)
-    lanes = GraphAttentionEmbeddingRowwise(**kw, score_layout="lanes")
+    # Explicit kmajor baseline: the module DEFAULT is "lanes" since r5, so
+    # constructing with no argument would compare lanes against itself.
+    base = GraphAttentionEmbeddingRowwise(**kw, score_layout="kmajor")
     params = base.init(KEY, *args)
     out_base = base.apply(params, *args)
-    out_lanes = lanes.apply(params, *args)
-    np.testing.assert_allclose(
-        np.asarray(out_lanes), np.asarray(out_base), atol=1e-5, rtol=1e-5
-    )
+    for layout in ("lanes", "lanesv"):
+        var = GraphAttentionEmbeddingRowwise(**kw, score_layout=layout)
+        out_var = var.apply(params, *args)
+        np.testing.assert_allclose(
+            np.asarray(out_var), np.asarray(out_base), atol=1e-5, rtol=1e-5,
+            err_msg=layout,
+        )

@@ -827,7 +827,7 @@ class GraphAttentionEmbeddingRowwise(nn.Module):
 
         # f32 accumulation either way; bf16 operands when kv_bf16 (identical
         # to the MXU's default handling of f32 operands on TPU).
-        if self.score_layout == "lanes":
+        if self.score_layout in ("lanes", "lanesv"):
             # Seeds-on-lanes score chain: every (mask / softmax / rescale)
             # elementwise op runs on (H, K, S) tensors whose minor axis is
             # the big S, not the tiny H.
@@ -840,6 +840,21 @@ class GraphAttentionEmbeddingRowwise(nn.Module):
             alpha = jax.nn.softmax(logits, axis=1)
             alpha = jnp.where(mask_t, alpha, 0.0)
             alpha = self.drop(alpha, deterministic=deterministic)
+            if self.score_layout == "lanesv":
+                # Lane-major VALUE contraction too: the hook-DAG program's
+                # XLA fusion materializes the alpha*v product at the
+                # K-major (S, K, H, C) layout (the 6.7% hook-vs-fused gap,
+                # docs/performance.md); pre-transposing v keeps S on the
+                # lanes through the k-reduction so no K-major intermediate
+                # exists to materialize. Same math, fp-level reduction
+                # grouping.
+                v_l = jnp.einsum("skhc->hkcs", v)
+                out = jnp.einsum(
+                    "hks,hkcs->hcs", alpha.astype(v.dtype), v_l,
+                    preferred_element_type=jnp.float32,
+                )
+                out = out.transpose(2, 0, 1).reshape(S, self.out_channels)
+                return out + self.lin_skip(x_seed)
             out = jnp.einsum(
                 "hks,skhc->shc", alpha.astype(v.dtype), v,
                 preferred_element_type=jnp.float32,
