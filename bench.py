@@ -59,6 +59,15 @@ def measured_cpu_baseline(num_edges=None, bsize=None) -> float | None:
         return None
     return float(rec["reference_train_edges_per_sec"])
 
+def resolve_attn_layout(args, model: str = "tgn") -> str:
+    """--attn-layout auto -> the per-model measured winner (r5 same-session
+    A/Bs: TGN lanes 257.2k/144.1k vs kmajor 239.7k/89.2k; TGAT kmajor
+    114.8k vs lanes 113.6k — its score ops run at (S*K1, K2, H) shapes)."""
+    if args.attn_layout != "auto":
+        return args.attn_layout
+    return "kmajor" if model == "tgat" else "lanes"
+
+
 # tgbl-wiki shape constants.
 WIKI_NODES = 9_227
 WIKI_EDGES = 157_474
@@ -137,7 +146,8 @@ def run_hook_bench(args, dg, stream, num_nodes, num_edges, edge_dim,
     attn_bf16 = {"auto": False, "on": True, "off": False}[args.attn_bf16]
     encoder = GraphAttentionEmbeddingRowwise(
         in_channels=dims, out_channels=dims, msg_dim=edge_dim, time_dim=dims,
-        dropout=0.0, kv_bf16=attn_bf16, score_layout=args.attn_layout,
+        dropout=0.0, kv_bf16=attn_bf16,
+        score_layout=resolve_attn_layout(args),
     )
     decoder = LinkPredictor(node_dim=dims, hidden_dim=dims)
     opt = optax.adam(1e-4)
@@ -212,7 +222,7 @@ def run_hook_bench(args, dg, stream, num_nodes, num_edges, edge_dim,
             edge_x_full=stream.edge_x,
             feat_bf16={"auto": None, "on": True, "off": False}[args.feat_bf16],
             attn_bf16={"auto": None, "on": True, "off": False}[args.attn_bf16],
-            attn_score_layout=args.attn_layout,
+            attn_score_layout=resolve_attn_layout(args),
         )
         out.update(run_fused_eval(args, dg, stream, num_edges, pipe,
                                   pipe.init_carry(jax.random.PRNGKey(0))))
@@ -936,11 +946,15 @@ def main() -> None:
         "neutral (+0.2%%, r5 same-session A/B)",
     )
     p.add_argument(
-        "--attn-layout", choices=["kmajor", "lanes", "lanesv"], default="lanes",
-        help="TGN rowwise attention score-tensor layout: lanes (default) = "
-        "logits (H, K, S) with seeds on the 128-lane axis for the "
-        "mask/softmax chain — measured same-session +7.3%% train / +56.8%% "
-        "eval over kmajor (r5); kmajor = logits (S, K, H), the r4 layout",
+        "--attn-layout", choices=["auto", "kmajor", "lanes", "lanesv"],
+        default="auto",
+        help="attention score-tensor layout. auto (default) = the per-model "
+        "measured winner: TGN lanes (logits (H, K, S), seeds on the "
+        "128-lane axis — same-session +7.3%% train / +56.8%% eval over "
+        "kmajor, r5), TGAT kmajor (same-session 114.8k vs 113.6k — its "
+        "score ops run at (S·K1, K2, H) shapes where the lane transpose "
+        "doesn't pay). lanesv = lanes + pre-transposed value contraction "
+        "(measured neutral, r5)",
     )
     p.add_argument(
         "--calibrate", action=argparse.BooleanOptionalAction, default=True,
@@ -1027,7 +1041,7 @@ def main() -> None:
             edge_x_full=stream.edge_x,
             feat_bf16=feat_bf16,
             attn_bf16={"auto": None, "on": True, "off": False}[args.attn_bf16],
-            attn_score_layout=args.attn_layout,
+            attn_score_layout=resolve_attn_layout(args),
         )
         out = {"metric": "tgn_eval_only", "unit": "edges/s",
                "eval_proj_table": args.eval_proj_table,
@@ -1072,7 +1086,7 @@ def main() -> None:
             edge_ends_full=(dg.edge_src, dg.edge_dst),
             feat_bf16=feat_bf16,
             attn_bf16={"auto": None, "on": True, "off": False}[args.attn_bf16],
-            attn_score_layout=args.attn_layout,
+            attn_score_layout=resolve_attn_layout(args, "tgat"),
         )
     else:
         pipe = TGNPipeline(
@@ -1090,7 +1104,7 @@ def main() -> None:
             packed_recency=args.packed_recency,
             feat_bf16=feat_bf16,
             attn_bf16={"auto": None, "on": True, "off": False}[args.attn_bf16],
-            attn_score_layout=args.attn_layout,
+            attn_score_layout=resolve_attn_layout(args),
         )
     carry = pipe.init_carry(jax.random.PRNGKey(0))
     # Tables-as-arguments is required for the aug-table TGAT program (657MB
