@@ -61,11 +61,15 @@ def measured_cpu_baseline(num_edges=None, bsize=None) -> float | None:
 
 def resolve_attn_layout(args, model: str = "tgn") -> str:
     """--attn-layout auto -> the per-model measured winner (r5 same-session
-    A/Bs: TGN lanes 257.2k/144.1k vs kmajor 239.7k/89.2k; TGAT kmajor
-    114.8k vs lanes 113.6k — its score ops run at (S*K1, K2, H) shapes)."""
+    A/Bs). TGN: lanes beat kmajor 257.2k/144.1k vs 239.7k/89.2k, and
+    lanesv (lane-major value contraction too) then beat lanes on eval
+    147.3k vs 144.0k (+2.3%; train +0.6%) — it removes the K-major
+    alpha*v materialization the eval profile showed at ~3.5%. TGAT:
+    kmajor 114.8k vs lanes 113.6k (its score ops run at (S*K1, K2, H)
+    shapes where the lane transpose doesn't pay)."""
     if args.attn_layout != "auto":
         return args.attn_layout
-    return "kmajor" if model == "tgat" else "lanes"
+    return "kmajor" if model == "tgat" else "lanesv"
 
 
 # tgbl-wiki shape constants.

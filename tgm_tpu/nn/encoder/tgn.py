@@ -747,15 +747,18 @@ class GraphAttentionEmbeddingRowwise(nn.Module):
     # MXU does to f32 operands anyway; keeps the gathered neighbor tensors in
     # bf16 end-to-end (see modules/attention.py:TemporalAttention.kv_bf16).
     kv_bf16: bool = False
-    # Score-tensor layout. "lanes" (default): logits (H, K, S) — seeds on
-    # the 128-lane axis (same philosophy as the lane-major recency select
-    # kernel), softmax reduces over the sublane-tiled K axis. "kmajor":
-    # logits (S, K, H) — K/H are the tiled dims, 20/1024 tile-slot
-    # utilization at H=2, K=10; the r5 TPU eval profile showed its
-    # softmax/mask fusions at ~27% of the eval epoch. Same math modulo fp
-    # reduction order; measured same-session on v5e (r5): train 272.0k vs
-    # 253.6k (+7.3%), eval 143.9k vs 91.8k (+56.8%) edges/s.
-    score_layout: str = "lanes"
+    # Score-tensor layout. "lanesv" (default): the "lanes" score chain —
+    # logits (H, K, S) with seeds on the 128-lane axis (same philosophy as
+    # the lane-major recency select kernel), softmax reducing over the
+    # sublane-tiled K axis — PLUS a lane-major value contraction (v
+    # pre-transposed to (H, K, C, S) so the alpha·v product never exists
+    # K-major). "kmajor": logits (S, K, H) — K/H are the tiled dims,
+    # 20/1024 tile-slot utilization at H=2, K=10; its softmax/mask fusions
+    # were ~27% of the r5 eval epoch. Same math modulo fp reduction order;
+    # measured same-session on v5e (r5): lanes vs kmajor train 272.0k vs
+    # 253.6k (+7.3%), eval 143.9k vs 91.8k (+56.8%); lanesv vs lanes eval
+    # 147.3k vs 144.0k (+2.3%), train +0.6%.
+    score_layout: str = "lanesv"
 
     def setup(self) -> None:
         assert self.out_channels % self.n_heads == 0

@@ -97,7 +97,7 @@ class TGNPipeline(StaticTablesMixin):
         packed_recency: bool = False,
         feat_bf16: Optional[bool] = None,
         attn_bf16: Optional[bool] = None,
-        attn_score_layout: str = "lanes",
+        attn_score_layout: str = "lanesv",
     ) -> None:
         self.num_nodes = num_nodes
         self.state_row_multiple = state_row_multiple
