@@ -315,9 +315,18 @@ def run_and_trace(args) -> str:
             jax.random.PRNGKey(1), (nb * B, Q),
             int(dg.edge_dst.min()), int(dg.edge_dst.max()) + 1, dtype=jnp.int32)
 
+        # Match the bench's default eval configuration (--eval-proj-table
+        # ON): gathers come from the pre-projected embed-wide table, so the
+        # profile reflects the program the metric runs.
+        proj = (pipe.eval_proj_table(carry.params)
+                if hasattr(pipe, "eval_proj_table") else None)
+
         def eval_epoch(c):
             def body(c, i):
                 rows = lax.dynamic_slice(cands, (i * B, 0), (B, Q))
+                if proj is not None:
+                    return pipe.eval_step(c, stream.batch_at(i), rows,
+                                          nbr_proj_table=proj)
                 return pipe.eval_step(c, stream.batch_at(i), rows)
 
             return lax.scan(body, c, jnp.arange(nb))
