@@ -104,9 +104,12 @@ def run_hook_bench(args, dg, stream, num_nodes, num_edges, edge_dim,
     fused into one scanned XLA program per epoch (train/hook_pipeline.py).
 
     ``canonical``: emit the primary TGN metric name — the scanned hook DAG is
-    the library's DEFAULT execution model (the examples run it), and it
-    measures faster than the hand-fused pipeline (312.5k vs 304.0k edges/s
-    on v5e at wiki shapes), so it is also what ``bench.py`` reports."""
+    the library's DEFAULT execution model (the examples run it), so it is
+    what ``bench.py`` reports. It measured faster than the hand-fused
+    pipeline in r2 (312.5k vs 304.0k); as of r5 the fused pipeline is ~5%
+    ahead (271.3k vs 259.0k, same degraded session — an XLA fusion-split
+    artifact, docs/performance.md "hook-vs-fused gap") but the canonical
+    metric stays the advertised API, with fused as the ceiling reference."""
     import time as _time
 
     import jax
