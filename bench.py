@@ -296,6 +296,19 @@ def machine_calibration() -> dict:
             best = min(best, _time.perf_counter() - t0)
         return best
 
+    def slope(make, lo, hi):
+        """min-timed (t_lo, t_hi, per-unit slope), retrying with longer
+        scans until t_hi clearly dominates t_lo — a tunnel-latency spike of
+        tens of ms can exceed the device-work delta at the default lengths
+        and flip the two-point slope negative (observed once: -1631.9
+        "TFLOP/s")."""
+        for attempt in range(3):
+            t_lo, t_hi = timed(make(lo)), timed(make(hi))
+            if t_hi > 1.2 * t_lo:
+                break
+            hi *= 4  # grow device work until it dwarfs the jitter
+        return t_lo, t_hi, (t_hi - t_lo) / (hi - lo)
+
     out = {}
 
     tbl = jnp.ones((157_474, 172), jnp.bfloat16)
@@ -309,10 +322,10 @@ def machine_calibration() -> dict:
         return jax.jit(
             lambda: lax.scan(g_body, jnp.int32(0), None, length=length)[1])
 
-    t_lo, t_hi = timed(g(100)), timed(g(500))
-    out["gather_ns_row"] = round((t_hi - t_lo) / (400 * 44_000) * 1e9, 2)
+    t_lo, t_hi, per_step = slope(g, 100, 500)
+    out["gather_ns_row"] = round(per_step / 44_000 * 1e9, 2)
     # Intercept of the timing line = fixed per-dispatch overhead.
-    out["dispatch_ms"] = round((t_lo - (t_hi - t_lo) / 4) * 1e3, 1)
+    out["dispatch_ms"] = round((t_lo - per_step * 100) * 1e3, 1)
 
     a = jnp.full((2048, 2048), 0.5, jnp.bfloat16)
 
@@ -323,8 +336,8 @@ def machine_calibration() -> dict:
     def m(length):
         return jax.jit(lambda: lax.scan(m_body, a, None, length=length)[0])
 
-    t_lo, t_hi = timed(m(50)), timed(m(550))
-    out["matmul_tflops"] = round(500 * 2 * 2048**3 / (t_hi - t_lo) / 1e12, 1)
+    _, _, per_mm = slope(m, 50, 550)
+    out["matmul_tflops"] = round(2 * 2048**3 / per_mm / 1e12, 1)
 
     ok = (out["gather_ns_row"] <= SESSION_GATHER_NS_ROW_MAX
           and out["matmul_tflops"] >= SESSION_MATMUL_TFLOPS_MIN)
